@@ -1,0 +1,105 @@
+"""Benchmark: MinkUNet inference points/sec on SemanticKITTI-scale synthetic frames.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The timed quantity is end-to-end single-chip inference of new frames — on-device
+augment + voxelize + multi-level kernel-map (plan) build + MinkUNet forward —
+i.e. the same work the reference does per frame with torchsparse (which also
+rebuilds kernel maps per batch).  ``vs_baseline`` is measured against an estimated
+reference GPU throughput of 1.2e6 points/s (MinkUNet + torchsparse 1.4 on a
+2080Ti-class GPU runs SemanticKITTI val at ~10 frames/s x ~120k pts; the repo
+publishes no numbers — BASELINE.md).  North star: >= 5x => vs_baseline >= 5.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_POINTS_PER_SEC = 1.2e6
+
+
+def synthetic_sk_frame(rng, n=120_000):
+    """Surface-like LiDAR frame (ground rings + structures) at SemanticKITTI scale."""
+    n_g = int(n * 0.6)
+    n_w = n - n_g
+    r = 2 + 78 * rng.random(n_g) ** 1.5
+    th = rng.uniform(0, 2 * np.pi, n_g)
+    ground = np.stack([r * np.cos(th), r * np.sin(th), 0.05 * rng.standard_normal(n_g)], 1)
+    cx, cy = rng.uniform(-60, 60, (2, 24))
+    wi = rng.integers(0, 24, n_w)
+    walls = np.stack(
+        [
+            cx[wi] + rng.normal(scale=2.0, size=n_w),
+            cy[wi] + rng.normal(scale=2.0, size=n_w),
+            rng.uniform(0, 4, n_w),
+        ],
+        1,
+    )
+    xyz = np.concatenate([ground, walls]).astype(np.float32)
+    sig = rng.random(n).astype(np.float32)
+    return xyz, sig
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from lidal_tpu.data.pipeline import prepare_eval_batch
+    from lidal_tpu.models import MinkUNet
+
+    rng = np.random.default_rng(0)
+    B, P = 4, 131072
+    caps = (131072, 49152, 16384, 6144, 2048)
+    xyz = np.zeros((B, P, 3), np.float32)
+    sig = np.zeros((B, P), np.float32)
+    valid = np.zeros((B, P), bool)
+    n_pts = 120_000
+    for b in range(B):
+        x, s = synthetic_sk_frame(rng, n_pts)
+        xyz[b, :n_pts], sig[b, :n_pts], valid[b, :n_pts] = x, s, True
+
+    xyz_j, sig_j, valid_j = jnp.asarray(xyz), jnp.asarray(sig), jnp.asarray(valid)
+
+    model = MinkUNet(num_classes=19)
+
+    def infer(variables, keys):
+        eb = prepare_eval_batch(keys, xyz_j, sig_j, valid_j, level_caps=caps)
+        logits, _ = model.apply(variables, eb.feats, eb.plan, train=False)
+        return logits
+
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    eb0 = prepare_eval_batch(keys, xyz_j, sig_j, valid_j, level_caps=caps)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(1), eb0.feats, eb0.plan, train=False
+    )
+    infer_j = jax.jit(infer)
+
+    # warmup/compile
+    jax.block_until_ready(infer_j(variables, keys))
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        k = jax.random.split(jax.random.PRNGKey(2 + i), B)
+        out = infer_j(variables, k)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    pts_per_sec = B * n_pts * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "points/sec MinkUNet inference (SemanticKITTI)",
+                "value": round(pts_per_sec, 1),
+                "unit": "points/s",
+                "vs_baseline": round(pts_per_sec / REFERENCE_POINTS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

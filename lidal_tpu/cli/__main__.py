@@ -1,0 +1,80 @@
+"""CLI: ``python -m lidal_tpu.cli <command> [--flags]``.
+
+Mirrors the reference's per-script CLIs (``train.py:208-219``,
+``evaluate.py:146-157``, ``score/prob_inference.py:230-243``,
+``score/*/*.py`` mains) behind one typed entry point:
+
+  train           one round of training
+  evaluate        val-split mIoU for a trained round
+  prob-inference  multi-view probability dump over the train split
+  score           active selection for --metric_name (frame- or sv-level)
+  prep            offline preprocessing: grids / supervoxels / boundary / bootstrap
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+from lidal_tpu.config import RunConfig
+
+
+def _add_run_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--dataset_name", type=str, default="SK", help="SK | NU")
+    p.add_argument("--model_name", type=str, default="Mink", help="contains Mink or SPVCNN")
+    p.add_argument("--label_unit", type=str, default="sv", help="fr | sv")
+    p.add_argument("--metric_name", type=str, default="LiDAL")
+    p.add_argument("--r_id", type=int, default=0)
+    p.add_argument("--inf_reps", type=int, default=8)
+    p.add_argument("--max_iter", type=int, default=20000)
+    p.add_argument("--data_root", type=str, default="Semantic_kitti/dataset/sequences")
+    p.add_argument("--processing_root", type=str, default="Processing_files")
+    p.add_argument("--checkpoint_root", type=str, default="check_points")
+
+
+def _cfg(args) -> RunConfig:
+    fields = {f.name for f in dataclasses.fields(RunConfig)}
+    return RunConfig(**{k: v for k, v in vars(args).items() if k in fields})
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="lidal_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    for name in ("train", "evaluate", "prob-inference", "score"):
+        p = sub.add_parser(name)
+        _add_run_args(p)
+    p = sub.add_parser("prep")
+    _add_run_args(p)
+    p.add_argument("--stage", type=str, required=True,
+                   help="grids | supervoxels | boundary | bootstrap")
+
+    args = parser.parse_args(argv)
+    cfg = _cfg(args)
+
+    if args.command == "train":
+        from lidal_tpu.runtime.train_loop import run_train
+
+        run_train(cfg)
+    elif args.command == "evaluate":
+        from lidal_tpu.cli.commands import evaluate_command
+
+        evaluate_command(cfg)
+    elif args.command == "prob-inference":
+        from lidal_tpu.cli.commands import prob_inference_command
+
+        prob_inference_command(cfg)
+    elif args.command == "score":
+        from lidal_tpu.cli.commands import score_command
+
+        score_command(cfg)
+    elif args.command == "prep":
+        from lidal_tpu.cli.commands import prep_command
+
+        prep_command(cfg, args.stage)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,130 @@
+"""CLI command implementations wiring drivers + data + checkpoints."""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+from lidal_tpu.config import RunConfig
+from lidal_tpu.runtime.paths import Paths
+
+
+def _load_eval_variables(cfg: RunConfig):
+    """Build the model and restore the round checkpoint for inference
+    (reference evaluate.py:56-71, prob_inference.py:60-75)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lidal_tpu.data.pipeline import prepare_train_batch
+    from lidal_tpu.runtime import checkpoint as ckpt
+    from lidal_tpu.runtime.train import init_state, make_optimizer, make_eval_step
+    from lidal_tpu.runtime.train_loop import build_model
+
+    data = cfg.data
+    model = build_model(cfg)
+    # init with a tiny synthetic batch (shapes don't matter for param shapes)
+    rng = np.random.default_rng(0)
+    b = 1
+    xyz = jnp.asarray(rng.random((b, 1024, 3)).astype(np.float32) * 5)
+    sig = jnp.zeros((b, 1024))
+    valid = jnp.ones((b, 1024), bool)
+    labels = jnp.zeros((b, 1024), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(0), b)
+    small_caps = tuple(max(64, c // 128) for c in data.level_caps)
+    tb = prepare_train_batch(keys, xyz, sig, valid, labels, level_caps=small_caps,
+                             with_points=cfg.is_spvcnn)
+    tx = make_optimizer()
+    state = init_state(build_model(cfg), jax.random.PRNGKey(cfg.seed), tb, tx)
+    paths = Paths(cfg)
+    restored = ckpt.restore_checkpoint(paths.ckpt_dir(), state)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint under {paths.ckpt_dir()}")
+    state, _ = restored
+    print(f"Restored from: {paths.ckpt_dir()}/current")
+    return model, ckpt.variables_of(state), make_eval_step(model, cfg.is_spvcnn)
+
+
+def evaluate_command(cfg: RunConfig) -> float:
+    from lidal_tpu.data import semantic_kitti as sk
+    from lidal_tpu.data.loader import FrameBatchLoader
+    from lidal_tpu.runtime.evaluate import run_eval
+
+    model, variables, eval_step = _load_eval_variables(cfg)
+    data = cfg.data
+    files = sk.list_frames(cfg.data_root, data.val_split)
+    print("Validation samples:", len(files))
+    loader = FrameBatchLoader(
+        files,
+        lambda p: sk.read_frame(p, with_labels=True),
+        point_cap=data.point_cap,
+        batch_size=2 * data.batch_size,  # reference sk_dataloader.py:44-46
+    )
+    eval_step = jax.jit(eval_step)
+    return run_eval(cfg, eval_step, variables, loader)
+
+
+def prob_inference_command(cfg: RunConfig) -> None:
+    from lidal_tpu.data import semantic_kitti as sk
+    from lidal_tpu.runtime.prob_inference import run_prob_inference
+
+    model, variables, eval_step = _load_eval_variables(cfg)
+    data = cfg.data
+    files = sk.list_frames(cfg.data_root, data.train_split)
+    print("Score samples:", len(files))
+    run_prob_inference(
+        cfg,
+        jax.jit(eval_step),
+        variables,
+        files,
+        read_fn=lambda p: sk.read_frame(p, with_labels=False),
+        frame_id_fn=sk.frame_id,
+        verbose=True,
+    )
+
+
+def score_command(cfg: RunConfig) -> None:
+    m = cfg.metric_name
+    if m.startswith("LiDAL"):
+        from lidal_tpu.active.lidal_runner import run_lidal_round
+
+        run_lidal_round(cfg, verbose=True)
+    elif m == "ReDAL":
+        from lidal_tpu.active.redal_runner import run_redal_round
+
+        run_redal_round(cfg, verbose=True)
+    elif cfg.label_unit == "sv" and m == "RAND":
+        from lidal_tpu.active.redal_runner import run_sv_rand_round
+
+        run_sv_rand_round(cfg)
+    else:
+        from lidal_tpu.active.frame_runner import run_frame_metric_round
+
+        run_frame_metric_round(cfg, m, verbose=True)
+
+
+def prep_command(cfg: RunConfig, stage: str) -> None:
+    from lidal_tpu.data import semantic_kitti as sk
+
+    data = cfg.data
+    seq_frames = {s: sk.list_frames(cfg.data_root, [s]) for s in data.train_split}
+    read_xyz = lambda p: sk.read_frame(p, with_labels=False)[0]  # noqa: E731
+
+    if stage == "grids":
+        from lidal_tpu.prep.grid import prepare_sk_grids
+
+        prepare_sk_grids(cfg, verbose=True)
+    elif stage == "supervoxels":
+        from lidal_tpu.prep.supervoxel_kmeans import prepare_supervoxels_kmeans
+
+        prepare_supervoxels_kmeans(cfg, seq_frames, read_xyz, verbose=True)
+    elif stage == "boundary":
+        from lidal_tpu.prep.surface_variation import prepare_surface_variation
+
+        prepare_surface_variation(cfg, seq_frames, read_xyz, verbose=True)
+    elif stage == "bootstrap":
+        from lidal_tpu.data.selection import bootstrap_round0
+
+        bootstrap_round0(cfg, seq_frames)
+    else:
+        raise ValueError(f"unknown prep stage: {stage}")

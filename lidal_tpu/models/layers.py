@@ -1,0 +1,197 @@
+"""Sparse network building blocks.
+
+Functional equivalents of the reference's torchsparse blocks
+(``BasicConvolutionBlock`` / ``BasicDeconvolutionBlock`` / ``ResidualBlock``,
+reference ``network/utils.py:105-172``), built on the gather-GEMM conv ops.
+
+All blocks operate on batched fixed-capacity arrays ``[B, cap, C]`` plus the plan
+pytree from ``ops.kernel_map``; convs are vmapped over the frame axis while
+BatchNorm reduces over the whole masked batch (matching torch ``BatchNorm1d``
+over the concatenated voxel axis).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lidal_tpu.ops.conv import down_conv, subm_conv, up_conv
+from lidal_tpu.ops.kernel_map import DownPlan, LevelPlan
+
+
+def conv_kernel_init(k: int):
+    """Uniform(-b, b) with b = 1/sqrt(K * cin) — torch kaiming_uniform(a=sqrt(5))
+    fan-in convention for conv weights."""
+
+    def init(key, shape, dtype=jnp.float32):
+        _, cin, _ = shape
+        b = 1.0 / jnp.sqrt(jnp.asarray(k * cin, jnp.float32))
+        return jax.random.uniform(key, shape, dtype, -b, b)
+
+    return init
+
+
+class SubMConv3(nn.Module):
+    """Kernel-3 stride-1 submanifold conv (spnn.Conv3d ks=3 s=1)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, level: LevelPlan) -> jnp.ndarray:
+        k = level.nbr3.shape[-1]
+        w = self.param("w", conv_kernel_init(k), (k, x.shape[-1], self.features))
+        return jax.vmap(subm_conv, in_axes=(0, None, 0))(x, w, level.nbr3)
+
+
+class Conv1x1(nn.Module):
+    """Kernel-1 conv == per-voxel linear, no bias (spnn.Conv3d ks=1)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param("w", conv_kernel_init(1), (1, x.shape[-1], self.features))
+        return x @ w[0]
+
+
+class DownConv2(nn.Module):
+    """Kernel-2 stride-2 conv (spnn.Conv3d ks=2 s=2)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, down: DownPlan) -> jnp.ndarray:
+        w = self.param("w", conv_kernel_init(8), (8, x.shape[-1], self.features))
+        return jax.vmap(down_conv, in_axes=(0, None, 0, 0, 0))(
+            x, w, down.child, down.parent, down.pdelta
+        )
+
+
+class UpConv2(nn.Module):
+    """Kernel-2 stride-2 transposed conv (spnn.Conv3d ks=2 s=2 transposed=True)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, down: DownPlan) -> jnp.ndarray:
+        w = self.param("w", conv_kernel_init(8), (8, x.shape[-1], self.features))
+        return jax.vmap(up_conv, in_axes=(0, None, 0, 0, 0))(
+            x, w, down.child, down.parent, down.pdelta
+        )
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over valid voxels of the whole batch.
+
+    Matches torch semantics: biased variance for normalization, unbiased for the
+    running estimate, ``running = (1 - momentum) * running + momentum * batch``.
+    Under pjit the reductions become global (sync-BN); the reference's per-GPU BN
+    (DDP without SyncBatchNorm) is a documented divergence.
+    """
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, valid: jnp.ndarray, train: bool) -> jnp.ndarray:
+        feat = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(feat, jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(feat, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+
+        if train:
+            m = valid.astype(jnp.float32)[..., None]
+            cnt = jnp.maximum(m.sum(), 1.0)
+            xf = x.astype(jnp.float32)
+            mean = (xf * m).sum(tuple(range(x.ndim - 1))) / cnt
+            var = (jnp.square(xf - mean) * m).sum(tuple(range(x.ndim - 1))) / cnt
+            if not self.is_initializing():
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                ra_mean.value = (1.0 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1.0 - self.momentum) * ra_var.value + self.momentum * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return (y * valid[..., None]).astype(x.dtype)
+
+
+class ConvBlock(nn.Module):
+    """conv ks=3 s=1 -> BN -> ReLU (reference BasicConvolutionBlock with ks=3)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, level: LevelPlan, train: bool):
+        x = SubMConv3(self.features)(x, level)
+        x = MaskedBatchNorm()(x, level.valid, train)
+        return jax.nn.relu(x)
+
+
+class DownBlock(nn.Module):
+    """conv ks=2 s=2 -> BN -> ReLU (reference BasicConvolutionBlock ks=2 stride=2)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, down: DownPlan, out_level: LevelPlan, train: bool):
+        x = DownConv2(self.features)(x, down)
+        x = MaskedBatchNorm()(x, out_level.valid, train)
+        return jax.nn.relu(x)
+
+
+class UpBlock(nn.Module):
+    """transposed conv ks=2 s=2 -> BN -> ReLU (reference BasicDeconvolutionBlock)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, down: DownPlan, out_level: LevelPlan, train: bool):
+        x = UpConv2(self.features)(x, down)
+        x = MaskedBatchNorm()(x, out_level.valid, train)
+        return jax.nn.relu(x)
+
+
+class ResidualBlock(nn.Module):
+    """conv-BN-ReLU-conv-BN + (identity | 1x1 conv-BN) -> ReLU
+    (reference ResidualBlock, network/utils.py:142-172; always stride 1 here)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, level: LevelPlan, train: bool):
+        y = SubMConv3(self.features)(x, level)
+        y = MaskedBatchNorm()(y, level.valid, train)
+        y = jax.nn.relu(y)
+        y = SubMConv3(self.features)(y, level)
+        y = MaskedBatchNorm()(y, level.valid, train)
+        if x.shape[-1] == self.features:
+            sc = x
+        else:
+            sc = Conv1x1(self.features)(x)
+            sc = MaskedBatchNorm()(sc, level.valid, train)
+        return jax.nn.relu(y + sc)
+
+
+class TorchLinear(nn.Module):
+    """nn.Linear with torch's default uniform(-1/sqrt(fan_in)) init for both w and b."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        b = 1.0 / jnp.sqrt(jnp.asarray(cin, jnp.float32))
+        w = self.param(
+            "w", lambda k, s: jax.random.uniform(k, s, jnp.float32, -b, b), (cin, self.features)
+        )
+        y = x @ w
+        if self.use_bias:
+            bias = self.param(
+                "b", lambda k, s: jax.random.uniform(k, s, jnp.float32, -b, b), (self.features,)
+            )
+            y = y + bias
+        return y

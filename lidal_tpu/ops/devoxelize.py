@@ -1,0 +1,124 @@
+"""Point<->voxel transfer ops for the SPVCNN point branch.
+
+TPU-native equivalents of torchsparse ``voxel_to_point`` (8-corner trilinear
+devoxelize via ``get_kernel_offsets(2,..)`` + ``calc_ti_weights`` + ``spdevoxelize``,
+reference ``network/utils.py:66-102``) and ``point_to_voxel`` (hash-match +
+``spvoxelize`` average, reference ``network/utils.py:38-61``).
+
+A modeling note baked into this design: with the reference data pipeline, SPVCNN's
+"points" are exactly the level-0 voxels — ``initial_voxelize`` is called with
+pres == vres on already-integer coords, making it an identity re-hash (reference
+``network/spvcnn.py:114-116``, ``network/utils.py:13-33``; SURVEY.md quirk 6).  So
+the point set here *is* the level-0 voxel table, point float coords are the integer
+level-0 coords, and stride-1 transfers are identities.  All cross-stride maps are
+precomputed into a :class:`PointPlan` once per batch.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lidal_tpu.ops.hashing import pack_keys, lookup
+from lidal_tpu.ops.kernel_map import OFFSETS2, UNetPlan
+from lidal_tpu.ops.voxelize import append_zero_row
+
+
+class TriMap(NamedTuple):
+    """Trilinear devoxelize map from level-0 "points" to one coarser level."""
+
+    idx8: jnp.ndarray  # [cap0, 8] int32 into the target level (sentinel = cap_l)
+    w8: jnp.ndarray  # [cap0, 8] float32 trilinear weights (0 where corner missing)
+
+
+class AvgMap(NamedTuple):
+    """Point->voxel average map from level-0 "points" to one coarser level."""
+
+    anc: jnp.ndarray  # [cap0] int32 ancestor voxel at the target level (sentinel)
+    counts: jnp.ndarray  # [cap_l] int32 number of points per target voxel
+
+
+class PointPlan(NamedTuple):
+    """Cross-stride transfer maps used by SPVCNN (levels 2 and 4)."""
+
+    tri2: TriMap
+    tri4: TriMap
+    avg2: AvgMap
+    avg4: AvgMap
+
+
+def _build_tri(coords0, valid0, level_coords, level_valid, lshift: int) -> TriMap:
+    """Corners floor(c / 2^l) + delta, weights prod(delta ? u : 1-u), u = frac(c / 2^l)."""
+    s = 1 << lshift
+    base = coords0 >> lshift  # [cap0, 3]
+    u = (coords0 & (s - 1)).astype(jnp.float32) / float(s)  # [cap0, 3]
+    offs = jnp.asarray(OFFSETS2, jnp.int32)  # [8, 3], d = (dx<<2)|(dy<<1)|dz
+    corners = base[:, None, :] + offs[None, :, :]  # [cap0, 8, 3]
+    t_hi, t_lo = pack_keys(level_coords, level_valid)
+    q_hi, q_lo = pack_keys(corners, valid0[:, None])
+    idx8 = lookup(t_hi, t_lo, q_hi, q_lo)  # [cap0, 8]
+    offs_f = offs.astype(jnp.float32)
+    w = jnp.prod(
+        jnp.where(offs_f[None] > 0, u[:, None, :], 1.0 - u[:, None, :]), axis=-1
+    )  # [cap0, 8]
+    cap_l = level_coords.shape[0]
+    w = jnp.where((idx8 < cap_l) & valid0[:, None], w, 0.0)
+    return TriMap(idx8=idx8.astype(jnp.int32), w8=w.astype(jnp.float32))
+
+
+def build_point_plan_frame(plan_levels, plan_downs) -> PointPlan:
+    """Build the SPVCNN transfer maps for ONE frame from its UNet plan."""
+    lv0 = plan_levels[0]
+    coords0, valid0 = lv0.coords, lv0.valid
+
+    # Ancestor chains: compose parent maps with sentinel-propagating padded gathers.
+    anc = jnp.arange(coords0.shape[0], dtype=jnp.int32)
+    anc = jnp.where(valid0, anc, coords0.shape[0])
+    ancs = {}
+    cur = anc
+    for l, down in enumerate(plan_downs):
+        cap_next = plan_levels[l + 1].coords.shape[0]
+        parent_ext = jnp.concatenate([down.parent, jnp.array([cap_next], jnp.int32)])
+        cur = parent_ext[jnp.minimum(cur, down.parent.shape[0])]
+        ancs[l + 1] = cur
+
+    def avg_map(l):
+        cap_l = plan_levels[l].coords.shape[0]
+        counts = (
+            jnp.zeros(cap_l, jnp.int32).at[ancs[l]].add(valid0.astype(jnp.int32), mode="drop")
+        )
+        return AvgMap(anc=ancs[l], counts=counts)
+
+    tri2 = _build_tri(coords0, valid0, plan_levels[2].coords, plan_levels[2].valid, 2)
+    tri4 = _build_tri(coords0, valid0, plan_levels[4].coords, plan_levels[4].valid, 4)
+    return PointPlan(tri2=tri2, tri4=tri4, avg2=avg_map(2), avg4=avg_map(4))
+
+
+def build_point_plan(plan: UNetPlan) -> PointPlan:
+    """Batched: vmap over the frame axis of a batched UNetPlan."""
+    return jax.vmap(build_point_plan_frame)(plan.levels, plan.downs)
+
+
+def devoxelize_trilinear(voxel_feats: jnp.ndarray, tri: TriMap) -> jnp.ndarray:
+    """spdevoxelize: out[p] = sum_d w8[p, d] * voxel_feats[idx8[p, d]] (missing -> 0).
+
+    voxel_feats: [cap_l, c]; returns [cap0, c].
+    """
+    fx = append_zero_row(voxel_feats)
+    g = fx[tri.idx8]  # [cap0, 8, c]
+    return jnp.einsum("pd,pdc->pc", tri.w8.astype(voxel_feats.dtype), g)
+
+
+def point_to_voxel_avg(point_feats: jnp.ndarray, avg: AvgMap) -> jnp.ndarray:
+    """spvoxelize: average point features into their ancestor voxels.
+
+    point_feats: [cap0, c] (invalid rows must be zero); returns [cap_l, c].
+    """
+    cap_l = avg.counts.shape[0]
+    sums = jnp.zeros((cap_l, point_feats.shape[-1]), point_feats.dtype).at[avg.anc].add(
+        point_feats, mode="drop"
+    )
+    denom = jnp.maximum(avg.counts, 1).astype(point_feats.dtype)[:, None]
+    return sums / denom

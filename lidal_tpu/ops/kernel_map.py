@@ -1,0 +1,145 @@
+"""Kernel-map ("rulebook") construction for sparse 3D convolution.
+
+TPU-native replacement for torchsparse's CUDA kernel-map builder (consumed via
+``spnn.Conv3d`` in the reference, ``network/utils.py:105-172``).  The reference
+caches kernel maps per (coords, stride) inside ``SparseTensor.kmaps``; here the
+entire multi-level structure is built once per batch as a static-shape "plan"
+pytree, after which every conv in the network is a pure gather + matmul.
+
+Three map kinds cover every conv in MinkUNet/SPVCNN (reference
+``network/minkunet.py:22-87``, ``network/spvcnn.py:21-83``):
+
+* **subm** (kernel 3, stride 1): output coords == input coords.  ``nbr[i, k]`` is
+  the input index whose coord is ``coord_i + offset_k`` (or a sentinel).  A conv is
+  then ``concat_k X[nbr[:, k]] @ W`` — a single MXU matmul after an im2col gather.
+* **down** (kernel 2, stride 2): output coords are ``unique(coords >> 1)``;
+  ``child[o, d]`` indexes the fine voxel at ``2*coord_o + delta_d``.
+* **up** (kernel 2, stride 2, transposed): each fine voxel has exactly one coarse
+  parent; ``parent[f]`` + ``pdelta[f]`` (which of the 8 kernel taps applies).
+
+The down/up maps are two views of one pairing, so a transposed conv's backward
+reuses the down map and vice versa — gathers in both directions, no scatter in the
+hot path, fully deterministic (required for bitwise-reproducible selection).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lidal_tpu.ops.hashing import pack_keys, lookup
+from lidal_tpu.ops.voxelize import unique_voxels
+
+# Kernel-3 offsets in x-major product order; OFFSETS3[K3 - 1 - k] == -OFFSETS3[k],
+# which the conv backward relies on.
+OFFSETS3 = tuple(itertools.product((-1, 0, 1), repeat=3))
+K3 = len(OFFSETS3)  # 27
+CENTER3 = 13  # index of (0, 0, 0)
+
+# Kernel-2 offsets, d = (dx<<2)|(dy<<1)|dz. Matches torchsparse
+# ``get_kernel_offsets(2, ...)`` semantics of {0,1}^3 taps (reference network/utils.py:69).
+OFFSETS2 = tuple(itertools.product((0, 1), repeat=3))
+K2 = len(OFFSETS2)  # 8
+
+
+class LevelPlan(NamedTuple):
+    """One resolution level: sorted unique voxel table + its kernel-3 rulebook."""
+
+    coords: jnp.ndarray  # [cap, 3] int32, unit coords at this level
+    valid: jnp.ndarray  # [cap] bool
+    nbr3: jnp.ndarray  # [cap, 27] int32 into this level (sentinel = cap)
+    num_valid: jnp.ndarray  # [] int32
+
+
+class DownPlan(NamedTuple):
+    """Pairing between a fine level l and coarse level l+1."""
+
+    child: jnp.ndarray  # [cap_coarse, 8] int32 into fine (sentinel = cap_fine)
+    parent: jnp.ndarray  # [cap_fine] int32 into coarse (sentinel = cap_coarse)
+    pdelta: jnp.ndarray  # [cap_fine] int32 in [0, 8)
+
+
+class UNetPlan(NamedTuple):
+    levels: Tuple[LevelPlan, ...]
+    downs: Tuple[DownPlan, ...]
+
+
+def build_subm_nbr(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Kernel-3 stride-1 rulebook over a sorted unique voxel table.
+
+    Args:
+      coords: [cap, 3] sorted unique voxel coords (as produced by
+        :func:`lidal_tpu.ops.voxelize.unique_voxels`).
+      valid: [cap] bool.
+
+    Returns:
+      [cap, 27] int32 neighbor indices; sentinel ``cap`` where absent/invalid.
+    """
+    cap = coords.shape[0]
+    key_hi, key_lo = pack_keys(coords, valid)
+    offs = jnp.asarray(OFFSETS3, jnp.int32)  # [27, 3]
+    q = coords[:, None, :] + offs[None, :, :]  # [cap, 27, 3]
+    q_hi, q_lo = pack_keys(q, valid[:, None])
+    nbr = lookup(key_hi, key_lo, q_hi, q_lo)  # [cap, 27]
+    own = jnp.arange(cap, dtype=jnp.int32)
+    center = jnp.where(valid, own, cap)
+    nbr = nbr.at[:, CENTER3].set(center)
+    return nbr
+
+
+def build_down(coords_fine: jnp.ndarray, valid_fine: jnp.ndarray, cap_coarse: int):
+    """Build the coarse level (``unique(coords >> 1)``) and the down/up pairing."""
+    cap_fine = coords_fine.shape[0]
+    uvc = unique_voxels(coords_fine >> 1, valid_fine, cap_coarse)
+    parent = uvc.inverse  # [cap_fine], sentinel cap_coarse
+    low_bits = coords_fine & 1
+    pdelta = (low_bits[:, 0] << 2) | (low_bits[:, 1] << 1) | low_bits[:, 2]
+    pdelta = jnp.where(valid_fine, pdelta, 0).astype(jnp.int32)
+    fine_ids = jnp.arange(cap_fine, dtype=jnp.int32)
+    child = jnp.full((cap_coarse + 1, K2), cap_fine, jnp.int32)
+    tgt_row = jnp.where(valid_fine, parent, cap_coarse)
+    child = child.at[tgt_row, pdelta].set(jnp.where(valid_fine, fine_ids, cap_fine))
+    child = child[:cap_coarse]
+    down = DownPlan(child=child, parent=parent.astype(jnp.int32), pdelta=pdelta)
+    return uvc, down
+
+
+def build_unet_plan_frame(
+    coords0: jnp.ndarray, valid0: jnp.ndarray, caps: Sequence[int]
+) -> UNetPlan:
+    """Build the full multi-level plan for ONE frame.
+
+    ``coords0``/``valid0`` must already be a *sorted unique* voxel set at level 0
+    (the output of :func:`unique_voxels`); ``caps[0]`` must equal its capacity.
+    """
+    assert coords0.shape[0] == caps[0], (coords0.shape, caps)
+    levels = []
+    downs = []
+    cur_coords, cur_valid = coords0, valid0
+    for l, cap in enumerate(caps):
+        nbr3 = build_subm_nbr(cur_coords, cur_valid)
+        levels.append(
+            LevelPlan(
+                coords=cur_coords,
+                valid=cur_valid,
+                nbr3=nbr3,
+                num_valid=cur_valid.sum().astype(jnp.int32),
+            )
+        )
+        if l + 1 < len(caps):
+            uvc, down = build_down(cur_coords, cur_valid, caps[l + 1])
+            downs.append(down)
+            cur_coords, cur_valid = uvc.coords, uvc.valid
+    return UNetPlan(levels=tuple(levels), downs=tuple(downs))
+
+
+def build_unet_plan(coords0: jnp.ndarray, valid0: jnp.ndarray, caps: Sequence[int]) -> UNetPlan:
+    """Batched plan builder: vmap of :func:`build_unet_plan_frame` over frames.
+
+    Args:
+      coords0: [B, cap0, 3]; valid0: [B, cap0].
+    """
+    return jax.vmap(lambda c, v: build_unet_plan_frame(c, v, caps))(coords0, valid0)

@@ -1,0 +1,121 @@
+"""Voxelization: coordinate dedup and point-feature pooling, fixed capacity.
+
+TPU-native equivalents of:
+
+* ``np.unique(coords_v, axis=0, return_index=True, return_inverse=True)``
+  (reference ``dataset/sk_dataset.py:167-169``) — :func:`unique_voxels`.
+* torchsparse ``F.spvoxelize`` + ``F.spcount`` feature averaging
+  (reference ``network/utils.py:20-25``) — :func:`voxelize_mean`.
+
+Both are jittable with static shapes; unique voxels are emitted in sorted
+(x, y, z)-lexicographic order, matching ``np.unique`` row order exactly, and the
+"first occurrence" representative matches NumPy's stable-sort semantics.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from lidal_tpu.ops.hashing import SENTINEL_KEY, pack_keys, sort_with_keys
+
+
+class UniqueVoxels(NamedTuple):
+    """Result of :func:`unique_voxels` with output capacity ``cap_out``.
+
+    Attributes:
+      coords: [cap_out, 3] int32 unique voxel coords, sorted lexicographically;
+        rows past ``num_unique`` are zeros.
+      key_hi/key_lo: [cap_out] packed keys of ``coords`` (sentinel past the end) —
+        this *is* the sorted lookup table for this voxel set.
+      valid: [cap_out] bool.
+      first_src: [cap_out] int32 index into the input of the first (lowest-index)
+        point of each voxel (``np.unique(..., return_index=True)`` parity).
+      inverse: [n_points] int32 point -> voxel index (``return_inverse`` parity);
+        points whose voxel overflowed ``cap_out`` (or invalid points) map to
+        ``cap_out`` (a sentinel slot).
+      counts: [cap_out] int32 number of valid points per voxel.
+      num_unique: [] int32 true unique count (may exceed ``cap_out``; overflow is
+        dropped — monitor this).
+    """
+
+    coords: jnp.ndarray
+    key_hi: jnp.ndarray
+    key_lo: jnp.ndarray
+    valid: jnp.ndarray
+    first_src: jnp.ndarray
+    inverse: jnp.ndarray
+    counts: jnp.ndarray
+    num_unique: jnp.ndarray
+
+
+def unique_voxels(coords: jnp.ndarray, valid: jnp.ndarray, cap_out: int) -> UniqueVoxels:
+    """Deduplicate integer voxel coords [n, 3] under a validity mask."""
+    n = coords.shape[0]
+    hi, lo = pack_keys(coords, valid)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    s_hi, s_lo, s_idx = sort_with_keys(hi, lo, idx)
+    s_valid = s_hi != SENTINEL_KEY
+
+    prev_hi = jnp.concatenate([jnp.array([SENTINEL_KEY]), s_hi[:-1]])
+    prev_lo = jnp.concatenate([jnp.array([SENTINEL_KEY]), s_lo[:-1]])
+    first = ((s_hi != prev_hi) | (s_lo != prev_lo)) & s_valid
+
+    group = jnp.cumsum(first.astype(jnp.int32)) - 1  # sorted-pos -> voxel id
+    num_unique = first.sum().astype(jnp.int32)
+
+    in_cap = group < cap_out
+    tgt_first = jnp.where(first & in_cap, group, cap_out)
+    first_src = jnp.zeros(cap_out, jnp.int32).at[tgt_first].set(s_idx, mode="drop")
+
+    out_valid = jnp.arange(cap_out) < jnp.minimum(num_unique, cap_out)
+    out_coords = jnp.where(out_valid[:, None], coords[first_src], 0).astype(jnp.int32)
+    key_hi, key_lo = pack_keys(out_coords, out_valid)
+
+    # point -> voxel id (original order); overflow/invalid -> cap_out sentinel
+    pt_group = jnp.where(s_valid & in_cap, group, cap_out)
+    inverse = jnp.zeros(n, jnp.int32).at[s_idx].set(pt_group.astype(jnp.int32))
+
+    counts = (
+        jnp.zeros(cap_out, jnp.int32)
+        .at[jnp.where(s_valid & in_cap, group, cap_out)]
+        .add(1, mode="drop")
+    )
+    return UniqueVoxels(out_coords, key_hi, key_lo, out_valid, first_src, inverse, counts, num_unique)
+
+
+def voxelize_mean(point_feats: jnp.ndarray, inverse: jnp.ndarray, counts: jnp.ndarray):
+    """Average point features into their voxels (torchsparse ``F.spvoxelize`` over
+    ``idx_query``/``counts``, reference ``network/utils.py:20-25``).
+
+    Args:
+      point_feats: [n, c] float features; rows of invalid points may be anything —
+        their ``inverse`` must be the sentinel ``cap_out``.
+      inverse: [n] int32 point -> voxel (sentinel = counts.shape[0]).
+      counts: [cap_out] int32 per-voxel valid point counts.
+
+    Returns:
+      [cap_out, c] mean features (zero where the voxel is empty).
+    """
+    cap_out = counts.shape[0]
+    sums = jnp.zeros((cap_out, point_feats.shape[-1]), point_feats.dtype).at[inverse].add(
+        point_feats, mode="drop"
+    )
+    denom = jnp.maximum(counts, 1).astype(point_feats.dtype)[:, None]
+    return sums / denom
+
+
+def devoxelize_nearest(voxel_feats_ext: jnp.ndarray, inverse: jnp.ndarray):
+    """Project voxel features back to points by the voxelization map.
+
+    ``voxel_feats_ext`` must have an extra zero row at index ``cap_out`` (the
+    sentinel slot); this mirrors the ``logits_v[inverse_indices]`` projection of the
+    reference (``evaluate.py:104-107``).
+    """
+    return voxel_feats_ext[inverse]
+
+
+def append_zero_row(feats: jnp.ndarray) -> jnp.ndarray:
+    """Append a zero sentinel row so sentinel indices gather zeros."""
+    return jnp.concatenate([feats, jnp.zeros_like(feats[:1])], axis=0)

@@ -1,0 +1,90 @@
+"""Validation driver: voxel->point projection + device confusion matrix + mIoU.
+
+Reference parity: ``evaluate.py:18-128`` — val loader (2x batch), forward, project
+logits through the voxelization inverse, confusion over gt < 100, all-reduce, table
+print.  The confusion matrix is accumulated on device (a [C, C] int32), and under a
+mesh the per-shard sums combine via compiler-inserted psum — the explicit
+``dist.all_reduce`` (evaluate.py:117-119) disappears.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidal_tpu.config import RunConfig
+from lidal_tpu.data.loader import FrameBatchLoader
+from lidal_tpu.data.pipeline import prepare_eval_batch
+from lidal_tpu.utils.iou import confusion_matrix, evaluate as print_iou
+
+
+def project_logits_to_points(logits_v: jnp.ndarray, inverse: jnp.ndarray) -> jnp.ndarray:
+    """[cap0, C] voxel logits -> [P, C] point logits via the dedup inverse
+    (reference evaluate.py:104-107); sentinel rows gather zeros."""
+    ext = jnp.concatenate([logits_v, jnp.zeros_like(logits_v[:1])], axis=0)
+    return ext[inverse]
+
+
+@partial(jax.jit, static_argnames=("num_classes",))
+def batch_confusion(
+    logits_v: jnp.ndarray,  # [B, cap0, C]
+    inverse: jnp.ndarray,  # [B, P]
+    point_valid: jnp.ndarray,  # [B, P]
+    labels_p: jnp.ndarray,  # [B, P]
+    num_classes: int,
+) -> jnp.ndarray:
+    logits_p = jax.vmap(project_logits_to_points)(logits_v, inverse)
+    pred = jnp.argmax(logits_p, axis=-1).astype(jnp.int32)
+    gt = jnp.where(point_valid, labels_p, 255)
+    return confusion_matrix(pred.reshape(-1), gt.reshape(-1), num_classes)
+
+
+def run_eval(
+    cfg: RunConfig,
+    eval_step: Callable,  # (variables, feats, plan[, pplan]) -> (logits, feat96)
+    variables,
+    loader: FrameBatchLoader,
+    seed: int = 1,
+    verbose: bool = True,
+) -> float:
+    """Evaluate over a val loader; returns mean IoU."""
+    data = cfg.data
+    c = data.num_classes
+    conf = jnp.zeros((c, c), jnp.int32)
+    rng = jax.random.PRNGKey(seed)
+    start = time.time()
+    for bi, batch in enumerate(loader):
+        rng, sub = jax.random.split(rng)
+        keys = jax.random.split(sub, batch["xyz"].shape[0])
+        eb = prepare_eval_batch(
+            keys,
+            jnp.asarray(batch["xyz"]),
+            jnp.asarray(batch["sig"]),
+            jnp.asarray(batch["valid"]),
+            level_caps=data.level_caps,
+            scale=data.scale,
+            full_scale=data.full_scale,
+            with_points=cfg.is_spvcnn,
+        )
+        if cfg.is_spvcnn:
+            logits, _ = eval_step(variables, eb.feats, eb.plan, eb.pplan)
+        else:
+            logits, _ = eval_step(variables, eb.feats, eb.plan)
+        conf = conf + batch_confusion(
+            logits, eb.inverse, eb.point_valid, jnp.asarray(batch["labels"]), c
+        )
+    conf_np = np.asarray(jax.device_get(conf))
+    if verbose:
+        miou = print_iou(conf_np)
+        print(time.time() - start)
+    else:
+        from lidal_tpu.utils.iou import per_class_iou
+
+        iou, _, _ = per_class_iou(conf_np)
+        miou = float(np.nan_to_num(iou, nan=0.0).mean())
+    return miou

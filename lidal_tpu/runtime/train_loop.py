@@ -1,0 +1,161 @@
+"""The per-round training driver (reference ``train.py:17-203``).
+
+Mode selection (reference train.py:89-109):
+  r_id == 0            -> 1% random fully-labeled frames ('train_frame')
+  metric == 'full'     -> whole train split
+  label_unit == 'fr'   -> frames flagged by the current round's metric
+  label_unit == 'sv'   -> frames with labeled supervoxels, labels masked per-point
+
+Loop: epochs over the loader until step >= max_iter; checkpoint every
+``ckpt_every`` steps (reference train.py:114-158).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidal_tpu.config import RunConfig
+from lidal_tpu.data import semantic_kitti as sk
+from lidal_tpu.data.loader import FrameBatchLoader
+from lidal_tpu.data.pipeline import prepare_train_batch
+from lidal_tpu.data.selection import (
+    apply_sv_label_mask,
+    bootstrap_round0,
+    load_sv_info,
+    sv_training_set,
+    train_files_frame_level,
+)
+from lidal_tpu.models import MinkUNet, SPVCNN
+from lidal_tpu.runtime import checkpoint as ckpt
+from lidal_tpu.runtime.paths import Paths, ensure_dir
+from lidal_tpu.runtime.train import init_state, make_optimizer, make_train_step
+
+
+def build_model(cfg: RunConfig):
+    return (SPVCNN if cfg.is_spvcnn else MinkUNet)(num_classes=cfg.data.num_classes)
+
+
+def make_sk_read_fn(cfg: RunConfig, sv_flag_by_frame=None, sv_info_by_frame=None, pseudo_by_frame=None):
+    """Reader closure implementing the reference's per-mode label handling."""
+
+    def read(path):
+        xyz, sig, labels = sk.read_frame(path, with_labels=True)
+        if sv_flag_by_frame is not None:
+            flags = np.load(sv_flag_by_frame[path])
+            point2sv, _ = load_sv_info(sv_info_by_frame[path])
+            pseudo = None
+            if pseudo_by_frame is not None:
+                pseudo = np.load(pseudo_by_frame[path])
+            labels = apply_sv_label_mask(labels, point2sv, flags, pseudo)
+        return xyz, sig, labels
+
+    return read
+
+
+def build_train_loader(cfg: RunConfig, shuffle: bool = True) -> FrameBatchLoader:
+    data = cfg.data
+    assert cfg.dataset_name == "SK", "NU loader wired via data.nuscenes manifests"
+    seq_frames = {s: sk.list_frames(cfg.data_root, [s]) for s in data.train_split}
+    all_files = [f for s in data.train_split for f in seq_frames[s]]
+
+    read_fn = make_sk_read_fn(cfg)
+    if cfg.r_id == 0:
+        bootstrap_round0(cfg, seq_frames)
+        files = train_files_frame_level(cfg, all_files, data.train_split)
+    elif cfg.metric_name == "full":
+        files = all_files
+    elif cfg.label_unit == "fr":
+        files = train_files_frame_level(cfg, all_files, data.train_split)
+    else:  # sv
+        files, svf, svi, pse = sv_training_set(cfg, seq_frames)
+        read_fn = make_sk_read_fn(
+            cfg,
+            sv_flag_by_frame=dict(zip(files, svf)),
+            sv_info_by_frame=dict(zip(files, svi)),
+            pseudo_by_frame=dict(zip(files, pse)) if pse else None,
+        )
+    print(f"Train_{cfg.r_id}r samples:", len(files))
+    return FrameBatchLoader(
+        files,
+        read_fn,
+        point_cap=data.point_cap,
+        batch_size=data.batch_size,
+        shuffle=shuffle,
+        seed=cfg.seed,
+    )
+
+
+def run_train(
+    cfg: RunConfig,
+    loader: Optional[FrameBatchLoader] = None,
+    max_iter: Optional[int] = None,
+    log_every: int = 50,
+    on_step: Optional[Callable] = None,
+):
+    """Train one round; returns the final TrainState."""
+    data = cfg.data
+    model = build_model(cfg)
+    tx = make_optimizer()
+    paths = Paths(cfg)
+    ensure_dir(paths.ckpt_dir())
+    loader = loader or build_train_loader(cfg)
+    max_iter = max_iter if max_iter is not None else cfg.max_iter
+
+    prep = functools.partial(
+        prepare_train_batch,
+        level_caps=data.level_caps,
+        scale=data.scale,
+        full_scale=data.full_scale,
+        with_points=cfg.is_spvcnn,
+    )
+    train_step = jax.jit(make_train_step(model, tx, with_points=cfg.is_spvcnn))
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    state = None
+    ep_id = 0
+    for batch in loader:
+        rng, sub = jax.random.split(rng)
+        keys = jax.random.split(sub, batch["xyz"].shape[0])
+        tb = prep(
+            keys,
+            jnp.asarray(batch["xyz"]),
+            jnp.asarray(batch["sig"]),
+            jnp.asarray(batch["valid"]),
+            jnp.asarray(batch["labels"]),
+        )
+        state = init_state(model, jax.random.PRNGKey(cfg.seed), tb, tx)
+        state, ep_id = ckpt.resume_or_warm_start(paths, state)
+        break
+    assert state is not None, "empty training set"
+
+    step = int(state.step)
+    while step < max_iter:
+        loader.set_epoch(ep_id)
+        for batch in loader:
+            rng, k1, k2 = jax.random.split(rng, 3)
+            keys = jax.random.split(k1, batch["xyz"].shape[0])
+            tb = prep(
+                keys,
+                jnp.asarray(batch["xyz"]),
+                jnp.asarray(batch["sig"]),
+                jnp.asarray(batch["valid"]),
+                jnp.asarray(batch["labels"]),
+            )
+            state, loss = train_step(state, tb, k2)
+            step += 1
+            if on_step is not None:
+                on_step(step, loss)
+            if step % log_every == 0:
+                print(f"Iteration: {step} loss: {float(loss):.4f}")
+            if step % cfg.ckpt_every == 0:
+                ckpt.save_checkpoint(paths.ckpt_dir(), ckpt.device_get_state(state), ep_id)
+            if step >= max_iter:
+                break
+        ep_id += 1
+    ckpt.save_checkpoint(paths.ckpt_dir(), ckpt.device_get_state(state), ep_id)
+    return state
