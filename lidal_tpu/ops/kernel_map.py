@@ -70,6 +70,10 @@ class UNetPlan(NamedTuple):
 def build_subm_nbr(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Kernel-3 stride-1 rulebook over a sorted unique voxel table.
 
+    Per offset, the query stream ``keys + packed(offset)`` stays sorted (the
+    key packing is carry-free), so each of the 26 lookups is a merge of two
+    sorted lists — ``lookup_sorted`` instead of per-query binary search.
+
     Args:
       coords: [cap, 3] sorted unique voxel coords (as produced by
         :func:`lidal_tpu.ops.voxelize.unique_voxels`).
@@ -78,16 +82,21 @@ def build_subm_nbr(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     Returns:
       [cap, 27] int32 neighbor indices; sentinel ``cap`` where absent/invalid.
     """
+    from lidal_tpu.ops.hashing import SENTINEL_KEY
+    from lidal_tpu.ops.merge_lookup import lookup_sorted
+
     cap = coords.shape[0]
     key_hi, key_lo = pack_keys(coords, valid)
-    offs = jnp.asarray(OFFSETS3, jnp.int32)  # [27, 3]
-    q = coords[:, None, :] + offs[None, :, :]  # [cap, 27, 3]
-    q_hi, q_lo = pack_keys(q, valid[:, None])
-    nbr = lookup(key_hi, key_lo, q_hi, q_lo)  # [cap, 27]
+    offs = [o for o in OFFSETS3 if o != (0, 0, 0)]
+    d_hi = jnp.asarray([(dx << 14) + dy for dx, dy, _ in offs], jnp.int32)  # [26]
+    d_lo = jnp.asarray([dz for _, _, dz in offs], jnp.int32)
+    q_hi = jnp.where(valid[None, :], key_hi[None, :] + d_hi[:, None], SENTINEL_KEY)
+    q_lo = jnp.where(valid[None, :], key_lo[None, :] + d_lo[:, None], SENTINEL_KEY)
+    nbr26 = jax.vmap(lambda qh, ql: lookup_sorted(key_hi, key_lo, qh, ql))(q_hi, q_lo)
     own = jnp.arange(cap, dtype=jnp.int32)
     center = jnp.where(valid, own, cap)
-    nbr = nbr.at[:, CENTER3].set(center)
-    return nbr
+    nbr = jnp.concatenate([nbr26[:CENTER3], center[None, :], nbr26[CENTER3:]], axis=0)
+    return nbr.T  # [cap, 27]
 
 
 def build_down(coords_fine: jnp.ndarray, valid_fine: jnp.ndarray, cap_coarse: int):

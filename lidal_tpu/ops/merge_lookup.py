@@ -1,0 +1,101 @@
+"""Merge-path lookup of SORTED queries in a sorted key table.
+
+The generic ``hashing.lookup`` does an 18-round vectorized binary search — 18
+serial passes of random gathers per query, the dominant cost of kernel-map
+construction on TPU.  But every rulebook query stream is itself *sorted*: a
+kernel offset adds a constant to the packed (hi, lo) key (field-independent
+packing => no carries), which preserves order.  Looking up M sorted queries in an
+N-entry sorted table is a *merge*, not M independent searches.
+
+Algorithm (merge-path tiling):
+1. Split the merged sequence (length N + M) into tiles of D elements.  The tile
+   boundaries (how many table entries vs queries each tile consumes) are found
+   with one small binary search per tile boundary — T+1 searches instead of M.
+2. Within a tile, every consumed query's lower bound provably lies inside the
+   tile's <= D-entry table window, so a [D_q x D_t] all-pairs key comparison on
+   the VPU yields exact ranks.  Table/query windows are contiguous slices —
+   no random gathers in the hot path.
+3. Ranks scatter back by query index (disjoint), one final equality gather
+   validates hits.
+
+Cost: O((N+M)/D) small searches + O((N+M) * D) vector compares, HBM-friendly.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from lidal_tpu.ops.hashing import SENTINEL_KEY, key_less
+
+
+def _diagonal_split(t_hi, t_lo, q_hi, q_lo, d):
+    """For each diagonal offset in ``d`` [T+1], the number of table entries
+    consumed before it in the merge (ties: queries first => lower bound)."""
+    n = t_hi.shape[0]
+    m = q_hi.shape[0]
+    lo = jnp.maximum(0, d - m)
+    hi = jnp.minimum(d, n)
+    # smallest a in [lo, hi] with Q(a): a >= n or d-a-1 < 0 or A[a] >= B[d-a-1]
+    import math
+
+    steps = max(1, math.ceil(math.log2(n + m + 2)))
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        j = d - mid - 1
+        a_idx = jnp.minimum(mid, n - 1)
+        b_idx = jnp.clip(j, 0, m - 1)
+        a_lt_b = key_less(t_hi[a_idx], t_lo[a_idx], q_hi[b_idx], q_lo[b_idx])
+        q_ok = (mid >= n) | (j < 0) | ~a_lt_b
+        lo = jnp.where(q_ok, lo, mid + 1)
+        hi = jnp.where(q_ok, mid, hi)
+    return lo  # == hi
+
+
+def lookup_sorted(t_hi, t_lo, q_hi, q_lo, tile: int = 128):
+    """Find each sorted query key in the sorted sentinel-padded table.
+
+    Args:
+      t_hi/t_lo: [n] sorted table keys (invalid tail = SENTINEL_KEY).
+      q_hi/q_lo: [m] sorted query keys (invalid = SENTINEL_KEY, at the end).
+      tile: merge tile size D.
+
+    Returns:
+      int32 [m]: table index of each query, or ``n`` when absent/sentinel.
+      Bit-identical to ``hashing.lookup`` on sorted queries.
+    """
+    n = t_hi.shape[0]
+    m = q_hi.shape[0]
+    d_tiles = (n + m + tile - 1) // tile
+    diag = jnp.minimum(jnp.arange(d_tiles + 1, dtype=jnp.int32) * tile, n + m)
+    a = _diagonal_split(t_hi, t_lo, q_hi, q_lo, diag)  # [T+1]
+    b = diag - a
+
+    # padded windows (pad with sentinel so clamped slices compare as +inf)
+    pad_hi = jnp.full((tile,), SENTINEL_KEY)
+    t_hi_p = jnp.concatenate([t_hi, pad_hi])
+    t_lo_p = jnp.concatenate([t_lo, pad_hi])
+    q_hi_p = jnp.concatenate([q_hi, pad_hi])
+    q_lo_p = jnp.concatenate([q_lo, pad_hi])
+
+    ar = jnp.arange(tile, dtype=jnp.int32)
+    t_win = a[:-1, None] + ar[None, :]  # [T, D] contiguous
+    q_win = b[:-1, None] + ar[None, :]
+    tw_hi, tw_lo = t_hi_p[t_win], t_lo_p[t_win]  # [T, D]
+    qw_hi, qw_lo = q_hi_p[q_win], q_lo_p[q_win]
+
+    # rank of each query within its tile's table window: #{table < query}
+    less = key_less(
+        tw_hi[:, None, :], tw_lo[:, None, :], qw_hi[:, :, None], qw_lo[:, :, None]
+    )  # [T, Dq, Dt]
+    rank = a[:-1, None] + less.sum(axis=-1).astype(jnp.int32)  # [T, D]
+
+    # a query is consumed by tile t iff b_t <= j < b_{t+1}
+    j = q_win  # global query indices per tile row
+    valid = (j < b[1:, None]) & (j < m)
+    out = jnp.zeros((m,), jnp.int32).at[jnp.where(valid, j, m)].set(
+        jnp.where(valid, rank, 0), mode="drop"
+    )
+
+    pos = jnp.minimum(out, n - 1)
+    found = (t_hi[pos] == q_hi) & (t_lo[pos] == q_lo) & (q_hi != SENTINEL_KEY)
+    return jnp.where(found, out, n).astype(jnp.int32)

@@ -43,16 +43,31 @@ def balanced_kmeans(
     size_tol: float = SIZE_TOL,
     seed: int = 0,
     lloyd_iters: int = 1,
+    prefer_native: bool = True,
 ) -> np.ndarray:
     """Partition [n, 3] points into ``n_clusters`` groups of size n/k * (1 ± tol).
 
+    Uses the C++ implementation (csrc/balanced_kmeans.cpp) when available —
+    the python greedy loop is O(n) python-interpreted per iteration.
+
     Returns labels [n] int32.
     """
+    if prefer_native:
+        try:
+            from lidal_tpu.prep.native import balanced_kmeans_native, native_available
+
+            if native_available():
+                return balanced_kmeans_native(
+                    xyz, n_clusters=n_clusters, size_tol=size_tol,
+                    lloyd_iters=lloyd_iters, seed=seed,
+                )
+        except Exception:
+            pass
     n = len(xyz)
     k = min(n_clusters, n)
     rng = np.random.default_rng(seed)
     centers = _kmeanspp_init(xyz, k, rng)
-    cap = int(np.ceil(n / k * (1.0 + size_tol)))
+    cap = max(int(n * (1.0 + size_tol) / k), -(-n // k))
     labels = np.zeros(n, np.int32)
     for _ in range(max(1, lloyd_iters)):
         d = np.linalg.norm(xyz[:, None, :] - centers[None], axis=-1)  # [n, k]

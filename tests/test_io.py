@@ -1,0 +1,86 @@
+"""PLY/PCD IO round-trips + LZF codec."""
+
+import numpy as np
+
+from lidal_tpu.utils import pcd, ply
+
+
+def test_ply_roundtrip_binary_and_ascii(tmp_path):
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(size=(100, 3)).astype(np.float32)
+    labels = rng.integers(0, 20, 100).astype(np.uint32)
+    for binary in (True, False):
+        p = str(tmp_path / f"t_{binary}.ply")
+        ply.write_ply(p, [xyz, labels], ["x", "y", "z", "label"], binary=binary)
+        out = ply.read_ply(p)
+        np.testing.assert_allclose(out["x"], xyz[:, 0], rtol=1e-6)
+        np.testing.assert_allclose(out["z"], xyz[:, 2], rtol=1e-6)
+        np.testing.assert_array_equal(out["label"], labels)
+
+
+def test_pcd_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    cols = {
+        "x": rng.normal(size=50).astype(np.float32),
+        "y": rng.normal(size=50).astype(np.float32),
+        "z": rng.normal(size=50).astype(np.float32),
+        "label": rng.integers(0, 9, 50).astype(np.uint32),
+    }
+    for binary in (True, False):
+        p = str(tmp_path / f"t_{binary}.pcd")
+        pcd.write_pcd(p, cols, binary=binary)
+        out = pcd.read_pcd(p)
+        np.testing.assert_allclose(out["x"], cols["x"], rtol=1e-6)
+        np.testing.assert_array_equal(out["label"], cols["label"])
+
+
+def test_lzf_roundtrip():
+    rng = np.random.default_rng(2)
+    data = rng.integers(0, 255, 10_000).astype(np.uint8).tobytes()
+    comp = pcd.lzf_compress(data)
+    out = pcd.lzf_decompress(comp, len(data))
+    assert out == data
+    # compressible data with back-references from a real-ish LZF stream:
+    # literals + a run — construct manually: 'abcabcabc...'
+    pattern = b"abc" * 100
+    comp2 = pcd.lzf_compress(pattern)
+    assert pcd.lzf_decompress(comp2, len(pattern)) == pattern
+
+
+def test_lzf_backreference_decode():
+    # hand-crafted stream: literal 'ab', then back-ref len 4 (ctrl len=2 -> 2+2)
+    # offset 2 -> expands 'abab'; total 'ababab'... verify known vector
+    stream = bytes([0x01, ord("a"), ord("b"), (2 << 5) | 0, 1])
+    out = pcd.lzf_decompress(stream, 6)
+    assert out == b"abABAB".lower()
+
+
+def test_pcd_binary_compressed_read(tmp_path):
+    # write a binary_compressed file by hand (SoA layout) and read it back
+    n = 20
+    x = np.arange(n, dtype=np.float32)
+    lab = (np.arange(n) % 3).astype(np.uint32)
+    soa = x.tobytes() + lab.tobytes()
+    comp = pcd.lzf_compress(soa)
+    header = "\n".join(
+        [
+            "VERSION 0.7",
+            "FIELDS x label",
+            "SIZE 4 4",
+            "TYPE F U",
+            "COUNT 1 1",
+            f"WIDTH {n}",
+            "HEIGHT 1",
+            "VIEWPOINT 0 0 0 1 0 0 0",
+            f"POINTS {n}",
+            "DATA binary_compressed",
+        ]
+    )
+    p = str(tmp_path / "c.pcd")
+    with open(p, "wb") as f:
+        f.write((header + "\n").encode())
+        f.write(np.array([len(comp), len(soa)], np.uint32).tobytes())
+        f.write(comp)
+    out = pcd.read_pcd(p)
+    np.testing.assert_allclose(out["x"], x)
+    np.testing.assert_array_equal(out["label"], lab)
