@@ -45,6 +45,10 @@ def synthetic_sk_frame(rng, n=120_000):
 
 def main() -> None:
     import jax
+
+    from lidal_tpu.tpu_init import setup as _setup
+
+    _setup()
     import jax.numpy as jnp
 
     from lidal_tpu.data.pipeline import prepare_eval_batch
@@ -77,15 +81,20 @@ def main() -> None:
     )
     infer_j = jax.jit(infer)
 
-    # warmup/compile
-    jax.block_until_ready(infer_j(variables, keys))
+    # Timing note: on the tunneled TPU backend, block_until_ready can return
+    # before device work completes — a host pull of a scalar accumulated across
+    # all iterations is the only trustworthy completion fence.
+    acc = float(jnp.sum(infer_j(variables, keys)))  # warmup/compile + drain
 
     iters = 5
     t0 = time.perf_counter()
+    acc_arr = jnp.zeros(())
     for i in range(iters):
         k = jax.random.split(jax.random.PRNGKey(2 + i), B)
         out = infer_j(variables, k)
-    jax.block_until_ready(out)
+        acc_arr = acc_arr + out.sum()
+    acc = float(acc_arr)  # forces every iteration
+    assert acc == acc  # finite
     dt = time.perf_counter() - t0
 
     pts_per_sec = B * n_pts * iters / dt

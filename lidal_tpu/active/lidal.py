@@ -92,6 +92,30 @@ def _finalize(sum_prob, interd, map_count):
     return interd, intere
 
 
+@jax.jit
+def _score_frame_device(q_prob, q_xyz, q_valid, nei_probs, grids):
+    """One dispatch per frame: lax.scan over the stacked 24 neighbor grids."""
+    sum_prob0 = q_prob  # LiDAL.py:63: starts as the query prob copy
+    interd0 = jnp.zeros(q_prob.shape[:1], jnp.float32)
+    map_count0 = jnp.ones(q_prob.shape[:1], jnp.float32)  # LiDAL.py:61
+
+    def body(carry, nei):
+        n_prob, grid = nei
+        return _accumulate_neighbor(q_prob, q_xyz, q_valid, n_prob, grid, *carry), None
+
+    (sum_prob, interd, map_count), _ = jax.lax.scan(
+        body, (sum_prob0, interd0, map_count0), (nei_probs, grids)
+    )
+    return _finalize(sum_prob, interd, map_count)
+
+
+def stack_grids(grids: Sequence[HashGrid]) -> HashGrid:
+    """Stack per-neighbor grids into one leading-axis pytree for the scan."""
+    import jax.tree_util as jtu
+
+    return jtu.tree_map(lambda *xs: jnp.stack(xs), *grids)
+
+
 def score_frame(
     q_prob: np.ndarray,  # [p, c] view-averaged probability map of the query frame
     q_xyz: np.ndarray,  # [p, 3] pose-registered (sequence-global) coords
@@ -99,19 +123,12 @@ def score_frame(
     nei_grids: Sequence[HashGrid],
 ):
     """Per-point inter-frame divergence + entropy against all neighbor frames."""
-    p = q_prob.shape[0]
     q_prob_j = jnp.asarray(q_prob, jnp.float32)
     q_xyz_j = jnp.asarray(q_xyz, jnp.float32)
-    q_valid = jnp.ones((p,), bool)
-    sum_prob = q_prob_j  # LiDAL.py:63: starts as the query prob copy
-    interd = jnp.zeros((p,), jnp.float32)
-    map_count = jnp.ones((p,), jnp.float32)  # LiDAL.py:61
-    for n_prob, grid in zip(nei_probs, nei_grids):
-        sum_prob, interd, map_count = _accumulate_neighbor(
-            q_prob_j, q_xyz_j, q_valid, jnp.asarray(n_prob, jnp.float32), grid,
-            sum_prob, interd, map_count,
-        )
-    interd, intere = _finalize(sum_prob, interd, map_count)
+    q_valid = jnp.ones(q_prob.shape[:1], bool)
+    nei = jnp.stack([jnp.asarray(p, jnp.float32) for p in nei_probs])
+    grids = stack_grids(list(nei_grids))
+    interd, intere = _score_frame_device(q_prob_j, q_xyz_j, q_valid, nei, grids)
     return np.asarray(interd), np.asarray(intere)
 
 

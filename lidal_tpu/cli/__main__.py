@@ -49,9 +49,17 @@ def main(argv=None) -> int:
     _add_run_args(p)
     p.add_argument("--stage", type=str, required=True,
                    help="grids | supervoxels | boundary | bootstrap")
+    p = sub.add_parser("run-experiment")
+    _add_run_args(p)
+    p.add_argument("--rounds", type=int, default=5)
+    p.add_argument("--no-eval", action="store_true")
 
     args = parser.parse_args(argv)
     cfg = _cfg(args)
+
+    from lidal_tpu.tpu_init import setup as _setup
+
+    _setup()
 
     if args.command == "train":
         from lidal_tpu.runtime.train_loop import run_train
@@ -73,6 +81,10 @@ def main(argv=None) -> int:
         from lidal_tpu.cli.commands import prep_command
 
         prep_command(cfg, args.stage)
+    elif args.command == "run-experiment":
+        from lidal_tpu.runtime.round import run_experiment
+
+        run_experiment(cfg, rounds=args.rounds, evaluate=not args.no_eval)
     return 0
 
 

@@ -45,18 +45,45 @@ def _load_eval_variables(cfg: RunConfig):
     return model, ckpt.variables_of(state), make_eval_step(model, cfg.is_spvcnn)
 
 
+def _dataset_frames(cfg: RunConfig, split: str):
+    """(files, read_fn, frame_id_fn) for the requested split ('train'|'val')."""
+    if cfg.dataset_name == "SK":
+        from lidal_tpu.data import semantic_kitti as sk
+
+        data = cfg.data
+        seqs = data.train_split if split == "train" else data.val_split
+        files = sk.list_frames(cfg.data_root, seqs)
+        return files, sk.read_frame, sk.frame_id
+
+    from lidal_tpu.data import nuscenes as nu
+
+    manifest = nu.build_manifest(
+        cfg.nu_root, cache_path=f"{cfg.processing_root}/NU/manifest.pkl"
+    )
+    train, val = nu.load_splits(list(manifest), f"{cfg.nu_root}/splits.json")
+    scenes = train if split == "train" else val
+    files = [e | {"scene": s} for s in scenes for e in manifest[s]]
+
+    def read(e, with_labels=True):
+        return nu.read_frame(e, with_labels=with_labels)
+
+    def fid(e):
+        return e["scene"], e["token"]
+
+    return files, read, fid
+
+
 def evaluate_command(cfg: RunConfig) -> float:
-    from lidal_tpu.data import semantic_kitti as sk
     from lidal_tpu.data.loader import FrameBatchLoader
     from lidal_tpu.runtime.evaluate import run_eval
 
     model, variables, eval_step = _load_eval_variables(cfg)
     data = cfg.data
-    files = sk.list_frames(cfg.data_root, data.val_split)
+    files, read_fn, _ = _dataset_frames(cfg, "val")
     print("Validation samples:", len(files))
     loader = FrameBatchLoader(
         files,
-        lambda p: sk.read_frame(p, with_labels=True),
+        lambda p: read_fn(p, with_labels=True),
         point_cap=data.point_cap,
         batch_size=2 * data.batch_size,  # reference sk_dataloader.py:44-46
     )
@@ -65,20 +92,18 @@ def evaluate_command(cfg: RunConfig) -> float:
 
 
 def prob_inference_command(cfg: RunConfig) -> None:
-    from lidal_tpu.data import semantic_kitti as sk
     from lidal_tpu.runtime.prob_inference import run_prob_inference
 
     model, variables, eval_step = _load_eval_variables(cfg)
-    data = cfg.data
-    files = sk.list_frames(cfg.data_root, data.train_split)
+    files, read_fn, frame_id_fn = _dataset_frames(cfg, "train")
     print("Score samples:", len(files))
     run_prob_inference(
         cfg,
         jax.jit(eval_step),
         variables,
         files,
-        read_fn=lambda p: sk.read_frame(p, with_labels=False),
-        frame_id_fn=sk.frame_id,
+        read_fn=lambda p: read_fn(p, with_labels=False),
+        frame_id_fn=frame_id_fn,
         verbose=True,
     )
 

@@ -30,6 +30,14 @@ from lidal_tpu.data.pipeline import IGNORE_LABEL
 from lidal_tpu.runtime.paths import Paths, ensure_dir
 
 
+def frame_name(fr) -> str:
+    """Canonical frame name: SK velodyne path -> basename without extension;
+    nuScenes manifest entry (dict) -> its sample_data token."""
+    if isinstance(fr, dict):
+        return fr["token"]
+    return os.path.basename(fr)[:-4]
+
+
 def load_sv_info(path: str) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (point2sv [N] int32, sv_gid [n_sv] int64)."""
     with np.load(path) as z:
@@ -67,7 +75,7 @@ def bootstrap_round0(
             ensure_dir(sv_dir)
             svi_dir = paths.supervoxel_dir(seq, part)
             for idx, fr in enumerate(frames):
-                name = os.path.basename(fr)[:-4]
+                name = frame_name(fr)
                 svi_path = os.path.join(svi_dir, f"{name}.npz")
                 if not os.path.exists(svi_path):
                     continue
@@ -120,7 +128,7 @@ def sv_training_set(
                 prev = dataclasses.replace(cfg, r_id=cfg.r_id - 1)
             pred_dir = Paths(prev).pred_dir(seq)
         for fr in frames:
-            name = os.path.basename(fr)[:-4]
+            name = frame_name(fr)
             fpath = os.path.join(flag_dir, f"{name}.npy")
             if not os.path.exists(fpath):
                 continue

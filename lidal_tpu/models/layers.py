@@ -41,7 +41,9 @@ class SubMConv3(nn.Module):
     def __call__(self, x: jnp.ndarray, level: LevelPlan) -> jnp.ndarray:
         k = level.nbr3.shape[-1]
         w = self.param("w", conv_kernel_init(k), (k, x.shape[-1], self.features))
-        return jax.vmap(subm_conv, in_axes=(0, None, 0))(x, w, level.nbr3)
+        from lidal_tpu.ops.batching import map_frames
+
+        return map_frames(lambda xi, ni: subm_conv(xi, w, ni), x, level.nbr3)
 
 
 class Conv1x1(nn.Module):
@@ -63,8 +65,11 @@ class DownConv2(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, down: DownPlan) -> jnp.ndarray:
         w = self.param("w", conv_kernel_init(8), (8, x.shape[-1], self.features))
-        return jax.vmap(down_conv, in_axes=(0, None, 0, 0, 0))(
-            x, w, down.child, down.parent, down.pdelta
+        from lidal_tpu.ops.batching import map_frames
+
+        return map_frames(
+            lambda xi, c, p, d: down_conv(xi, w, c, p, d),
+            x, down.child, down.parent, down.pdelta,
         )
 
 
@@ -76,8 +81,11 @@ class UpConv2(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, down: DownPlan) -> jnp.ndarray:
         w = self.param("w", conv_kernel_init(8), (8, x.shape[-1], self.features))
-        return jax.vmap(up_conv, in_axes=(0, None, 0, 0, 0))(
-            x, w, down.child, down.parent, down.pdelta
+        from lidal_tpu.ops.batching import map_frames
+
+        return map_frames(
+            lambda xi, c, p, d: up_conv(xi, w, c, p, d),
+            x, down.child, down.parent, down.pdelta,
         )
 
 

@@ -60,8 +60,10 @@ class SPVCNN(nn.Module):
         dn = plan.downs
         valid0 = lv[0].valid
 
-        tri = jax.vmap(devoxelize_trilinear)
-        p2v = jax.vmap(point_to_voxel_avg)
+        from lidal_tpu.ops.batching import map_frames
+
+        tri = lambda vf, tm: map_frames(devoxelize_trilinear, vf, tm)  # noqa: E731
+        p2v = lambda pf, am: map_frames(point_to_voxel_avg, pf, am)  # noqa: E731
 
         # Stem at level 0; z0 = voxel_to_point at stride 1 == identity (spvcnn.py:116-120).
         x0 = ConvBlock(cs[0])(feats, lv[0], train)

@@ -24,16 +24,23 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from lidal_tpu.ops.gather import take_rows
 from lidal_tpu.ops.voxelize import append_zero_row
 
 Array = jnp.ndarray
 
 
 def _gather_im2col(feats: Array, nbr: Array) -> Array:
-    """feats [capin, cin], nbr [capout, K] -> [capout, K*cin] (sentinel -> zeros)."""
+    """feats [capin, cin], nbr [capout, K] -> [capout, K*cin] (sentinel -> zeros).
+
+    Each offset column of ``nbr`` is sorted and unique (merge positions of two
+    sorted key streams, plus a sentinel tail), so the gathers take XLA's
+    ``indices_are_sorted``/``unique_indices`` fast path per column.
+    """
     fx = append_zero_row(feats)
-    g = fx[nbr]  # [capout, K, cin]
-    return g.reshape(nbr.shape[0], -1)
+    k = nbr.shape[1]
+    cols = [take_rows(fx, nbr[:, j], sorted_unique=True) for j in range(k)]
+    return jnp.stack(cols, axis=1).reshape(nbr.shape[0], -1)
 
 
 # --------------------------------------------------------------------------------------

@@ -97,8 +97,10 @@ def build_point_plan_frame(plan_levels, plan_downs) -> PointPlan:
 
 
 def build_point_plan(plan: UNetPlan) -> PointPlan:
-    """Batched: vmap over the frame axis of a batched UNetPlan."""
-    return jax.vmap(build_point_plan_frame)(plan.levels, plan.downs)
+    """Batched: static per-frame unroll over a batched UNetPlan (ops/batching.py)."""
+    from lidal_tpu.ops.batching import map_frames
+
+    return map_frames(build_point_plan_frame, plan.levels, plan.downs)
 
 
 def devoxelize_trilinear(voxel_feats: jnp.ndarray, tri: TriMap) -> jnp.ndarray:

@@ -92,7 +92,11 @@ def build_subm_nbr(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     d_lo = jnp.asarray([dz for _, _, dz in offs], jnp.int32)
     q_hi = jnp.where(valid[None, :], key_hi[None, :] + d_hi[:, None], SENTINEL_KEY)
     q_lo = jnp.where(valid[None, :], key_lo[None, :] + d_lo[:, None], SENTINEL_KEY)
-    nbr26 = jax.vmap(lambda qh, ql: lookup_sorted(key_hi, key_lo, qh, ql))(q_hi, q_lo)
+    # static loop, NOT vmap: vmapping lookup_sorted turns its contiguous
+    # slice-window loads into generic (slow-path) gathers.
+    nbr26 = jnp.stack(
+        [lookup_sorted(key_hi, key_lo, q_hi[j], q_lo[j]) for j in range(len(offs))]
+    )
     own = jnp.arange(cap, dtype=jnp.int32)
     center = jnp.where(valid, own, cap)
     nbr = jnp.concatenate([nbr26[:CENTER3], center[None, :], nbr26[CENTER3:]], axis=0)
@@ -146,9 +150,12 @@ def build_unet_plan_frame(
 
 
 def build_unet_plan(coords0: jnp.ndarray, valid0: jnp.ndarray, caps: Sequence[int]) -> UNetPlan:
-    """Batched plan builder: vmap of :func:`build_unet_plan_frame` over frames.
+    """Batched plan builder: static per-frame unroll of
+    :func:`build_unet_plan_frame` (see ops/batching.py for why not vmap).
 
     Args:
       coords0: [B, cap0, 3]; valid0: [B, cap0].
     """
-    return jax.vmap(lambda c, v: build_unet_plan_frame(c, v, caps))(coords0, valid0)
+    from lidal_tpu.ops.batching import map_frames
+
+    return map_frames(lambda c, v: build_unet_plan_frame(c, v, caps), coords0, valid0)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from lidal_tpu.ops.gather import slice_windows, take_values
 from lidal_tpu.ops.hashing import SENTINEL_KEY, key_less
 
 
@@ -77,11 +78,10 @@ def lookup_sorted(t_hi, t_lo, q_hi, q_lo, tile: int = 128):
     q_hi_p = jnp.concatenate([q_hi, pad_hi])
     q_lo_p = jnp.concatenate([q_lo, pad_hi])
 
-    ar = jnp.arange(tile, dtype=jnp.int32)
-    t_win = a[:-1, None] + ar[None, :]  # [T, D] contiguous
-    q_win = b[:-1, None] + ar[None, :]
-    tw_hi, tw_lo = t_hi_p[t_win], t_lo_p[t_win]  # [T, D]
-    qw_hi, qw_lo = q_hi_p[q_win], q_lo_p[q_win]
+    tw_hi = slice_windows(t_hi_p, a[:-1], tile)  # [T, D] contiguous slices
+    tw_lo = slice_windows(t_lo_p, a[:-1], tile)
+    qw_hi = slice_windows(q_hi_p, b[:-1], tile)
+    qw_lo = slice_windows(q_lo_p, b[:-1], tile)
 
     # rank of each query within its tile's table window: #{table < query}
     less = key_less(
@@ -89,13 +89,17 @@ def lookup_sorted(t_hi, t_lo, q_hi, q_lo, tile: int = 128):
     )  # [T, Dq, Dt]
     rank = a[:-1, None] + less.sum(axis=-1).astype(jnp.int32)  # [T, D]
 
-    # a query is consumed by tile t iff b_t <= j < b_{t+1}
-    j = q_win  # global query indices per tile row
-    valid = (j < b[1:, None]) & (j < m)
-    out = jnp.zeros((m,), jnp.int32).at[jnp.where(valid, j, m)].set(
-        jnp.where(valid, rank, 0), mode="drop"
-    )
+    # Assemble per-query results by GATHER, not scatter (TPU scatters are slow):
+    # query j is consumed by the unique tile t with b_t <= j < b_{t+1}; its
+    # in-tile slot is j - b_t, so out[j] = rank[t, j - b_t] — a sorted flat index.
+    j_arr = jnp.arange(m, dtype=jnp.int32)
+    t_of_j = jnp.searchsorted(b[1:], j_arr, side="right").astype(jnp.int32)
+    t_of_j = jnp.minimum(t_of_j, d_tiles - 1)
+    flat_idx = t_of_j * tile + (j_arr - b[t_of_j])
+    out = take_values(rank.reshape(-1), flat_idx, sorted_unique=True)
 
-    pos = jnp.minimum(out, n - 1)
-    found = (t_hi[pos] == q_hi) & (t_lo[pos] == q_lo) & (q_hi != SENTINEL_KEY)
+    pos = jnp.minimum(out, n - 1)  # non-decreasing in query order
+    hit_hi = take_values(t_hi, pos, sorted_unique=True)
+    hit_lo = take_values(t_lo, pos, sorted_unique=True)
+    found = (hit_hi == q_hi) & (hit_lo == q_lo) & (q_hi != SENTINEL_KEY)
     return jnp.where(found, out, n).astype(jnp.int32)

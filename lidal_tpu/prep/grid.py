@@ -16,6 +16,7 @@ from typing import Sequence
 import numpy as np
 
 from lidal_tpu.config import RunConfig
+from lidal_tpu.data.selection import frame_name
 from lidal_tpu.prep.poses import sequence_poses, transform_points
 from lidal_tpu.runtime.paths import Paths, ensure_dir
 
@@ -35,10 +36,28 @@ def prepare_sk_grids(cfg: RunConfig, seqs: Sequence[str] | None = None, verbose:
         for i, fr in enumerate(frames):
             xyz, _, _ = sk.read_frame(fr, with_labels=False)
             gxyz = transform_points(xyz, poses[i]).astype(np.float32)
-            name = os.path.basename(fr)[:-4]
+            name = frame_name(fr)
             np.savez_compressed(os.path.join(out_dir, f"{name}.npz"), xyz=gxyz)
             if verbose:
                 print(f"grid {seq}/{name}: {len(gxyz)} pts")
+
+
+def prepare_nu_grids(cfg: RunConfig, seq_frames: dict | None = None, verbose: bool = False):
+    """nuScenes variant: register each keyframe's points via its manifest
+    sensor->global pose (reference prepare_kdtree_nu.py:27-38 semantics)."""
+    from lidal_tpu.data import nuscenes as nu
+    from lidal_tpu.runtime.train_loop import nu_seq_frames
+
+    paths = Paths(cfg)
+    seq_frames = seq_frames or nu_seq_frames(cfg)
+    for scene, entries in seq_frames.items():
+        out_dir = ensure_dir(paths.grid_dir(scene))
+        for e in entries:
+            xyz, _, _ = nu.read_frame(e, with_labels=False)
+            gxyz = transform_points(xyz, e["global_pose"]).astype(np.float32)
+            np.savez_compressed(os.path.join(out_dir, f"{frame_name(e)}.npz"), xyz=gxyz)
+            if verbose:
+                print(f"grid {scene}/{frame_name(e)}: {len(gxyz)} pts")
 
 
 def load_grid_points(path: str) -> np.ndarray:

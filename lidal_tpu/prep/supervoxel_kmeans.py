@@ -18,7 +18,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from lidal_tpu.config import RunConfig
-from lidal_tpu.data.selection import save_sv_info
+from lidal_tpu.data.selection import frame_name, save_sv_info
 from lidal_tpu.runtime.paths import Paths, ensure_dir
 
 N_CLUSTERS = 20  # reference prepare_supervoxel_kmeans_sk.py:17
@@ -106,7 +106,7 @@ def prepare_supervoxels_kmeans(
             labels = balanced_kmeans(xyz, n_clusters=n_clusters)
             k = int(labels.max()) + 1 if len(labels) else 0
             sv_gid = np.arange(gid, gid + k, dtype=np.int64)
-            name = os.path.basename(fr)[:-4]
+            name = frame_name(fr)
             save_sv_info(os.path.join(out_dir, f"{name}.npz"), labels, sv_gid)
             id_seq += [seq] * k
             id_frame += [name] * k

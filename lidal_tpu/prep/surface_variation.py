@@ -15,6 +15,7 @@ from typing import Sequence
 import numpy as np
 
 from lidal_tpu.config import RunConfig
+from lidal_tpu.data.selection import frame_name
 from lidal_tpu.runtime.paths import Paths, ensure_dir
 
 K_NEIGHBORS = 50  # reference gen_surface_variation_sk.py:31
@@ -49,7 +50,7 @@ def prepare_surface_variation(
         for fr in frames:
             xyz = read_xyz(fr)
             sv = surface_variation(xyz)
-            name = os.path.basename(fr)[:-4]
+            name = frame_name(fr)
             np.save(os.path.join(out_dir, f"{name}.npy"), sv)
             if verbose:
                 print(f"boundary {seq}/{name}")

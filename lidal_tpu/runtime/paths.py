@@ -18,6 +18,17 @@ from lidal_tpu.config import RunConfig
 class Paths:
     cfg: RunConfig
 
+    @property
+    def metric(self) -> str:
+        """Artifact-namespace metric: the '_pseudo' suffix selects a training
+        behavior (pseudo-label injection), not a different artifact tree.  The
+        reference leaves this dangling (its LiDAL selector writes flags under
+        'LiDAL' while a 'LiDAL_pseudo' run would read 'LiDAL_pseudo' — SURVEY
+        quirk 5); here both variants share one namespace.
+        """
+        m = self.cfg.metric_name
+        return m[:-7] if m.endswith("_pseudo") else m
+
     # ----- check_points ---------------------------------------------------------
 
     def ckpt_dir(self, r_id: int | None = None) -> str:
@@ -29,7 +40,7 @@ class Paths:
             return os.path.join(base, "0r")
         if c.metric_name == "full":
             return os.path.join(base, "full")
-        return os.path.join(base, c.label_unit, c.metric_name, f"{r}r")
+        return os.path.join(base, c.label_unit, self.metric, f"{r}r")
 
     def warm_start_ckpt_dir(self) -> str:
         """Previous round's weights (train.py:73-85): round 1 starts from 0r."""
@@ -49,7 +60,7 @@ class Paths:
         base = os.path.join(c.processing_root, c.dataset_name, kind, c.model_name, c.label_unit)
         if r == 0:
             return os.path.join(base, "0r")
-        return os.path.join(base, c.metric_name, f"{r}r")
+        return os.path.join(base, self.metric, f"{r}r")
 
     def prob_dir(self, seq: str, r_id: int | None = None) -> str:
         return os.path.join(self._artifact_dir("prob_map", r_id), seq)
@@ -64,7 +75,7 @@ class Paths:
         """Processing_files/{DS}/frame_flag/(0r | RAND/{r}r | {model}/{metric}/{r}r)."""
         c = self.cfg
         r = c.r_id if r_id is None else r_id
-        m = c.metric_name if metric is None else metric
+        m = (self.metric if metric is None else metric)
         base = os.path.join(c.processing_root, c.dataset_name, "frame_flag")
         if r == 0:
             return os.path.join(base, "0r")
@@ -77,7 +88,7 @@ class Paths:
         (LiDAL.py:141-158, ReDAL uses VCCS, everything else KMeans)."""
         c = self.cfg
         r = c.r_id if r_id is None else r_id
-        m = c.metric_name if metric is None else metric
+        m = (self.metric if metric is None else metric)
         part = "VCCS" if m == "ReDAL" else "KMeans"
         base = os.path.join(c.processing_root, c.dataset_name, "sv_flag", part)
         if r == 0:

@@ -57,9 +57,66 @@ def make_sk_read_fn(cfg: RunConfig, sv_flag_by_frame=None, sv_info_by_frame=None
     return read
 
 
+def nu_seq_frames(cfg: RunConfig):
+    """scene -> frame entries + reader for nuScenes (manifest-based; see
+    data/nuscenes.py).  Frame 'paths' are manifest entries keyed by token."""
+    from lidal_tpu.data import nuscenes as nu
+
+    manifest = nu.build_manifest(
+        cfg.nu_root,
+        cache_path=f"{cfg.processing_root}/NU/manifest.pkl",
+    )
+    train, _ = nu.load_splits(list(manifest), f"{cfg.nu_root}/splits.json")
+    return {s: manifest[s] for s in train}
+
+
+def _build_nu_train_loader(cfg: RunConfig, shuffle: bool = True) -> FrameBatchLoader:
+    """nuScenes loaders: same flag trees keyed by scene name; frame 'files' are
+    manifest entries (dicts), named by in-scene index like the reference's
+    seq_frame ids (nu_dataloader.py:294-319)."""
+    from lidal_tpu.data import nuscenes as nu
+
+    data = cfg.data
+    seq_frames = nu_seq_frames(cfg)
+    split = sorted(seq_frames)
+    all_entries = [e for s in split for e in seq_frames[s]]
+
+    if cfg.r_id == 0:
+        bootstrap_round0(cfg, seq_frames)
+        flags = frame_flags_for_round_generic(cfg, split, seq_frames)
+        entries = [e for e, keep in zip(all_entries, flags) if keep]
+    elif cfg.metric_name == "full":
+        entries = all_entries
+    else:
+        flags = frame_flags_for_round_generic(cfg, split, seq_frames)
+        entries = [e for e, keep in zip(all_entries, flags) if keep]
+    print(f"Train_{cfg.r_id}r samples:", len(entries))
+    return FrameBatchLoader(
+        entries,
+        lambda e: nu.read_frame(e, with_labels=True),
+        point_cap=data.point_cap,
+        batch_size=data.batch_size,
+        shuffle=shuffle,
+        seed=cfg.seed,
+    )
+
+
+def frame_flags_for_round_generic(cfg: RunConfig, split, seq_frames):
+    """Frame flags concatenated over a split, creating missing round-0 flags."""
+    import numpy as np
+
+    from lidal_tpu.data.selection import frame_flags_for_round
+
+    try:
+        return frame_flags_for_round(cfg, split)
+    except FileNotFoundError:
+        return np.zeros(sum(len(seq_frames[s]) for s in split), bool)
+
+
 def build_train_loader(cfg: RunConfig, shuffle: bool = True) -> FrameBatchLoader:
     data = cfg.data
-    assert cfg.dataset_name == "SK", "NU loader wired via data.nuscenes manifests"
+    if cfg.dataset_name == "NU":
+        return _build_nu_train_loader(cfg, shuffle)
     seq_frames = {s: sk.list_frames(cfg.data_root, [s]) for s in data.train_split}
     all_files = [f for s in data.train_split for f in seq_frames[s]]
 

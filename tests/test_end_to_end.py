@@ -111,14 +111,8 @@ def test_full_round(workdir):
     assert int(state1.step) == 1
 
     # ---- round 1 sv training with pseudo labels -----------------------------------
-    # LiDAL wrote flags under metric dir LiDAL; the pseudo variant reads
-    # flags from its own metric dir (SURVEY quirk 5) — wire them over.
-    for s in data.train_split:
-        src = os.path.join(cfg.processing_root, "SK", "sv_flag", "KMeans", "Mink", "LiDAL", "1r", s)
-        dst = os.path.join(cfg.processing_root, "SK", "sv_flag", "KMeans", "Mink", "LiDAL_pseudo", "1r", s)
-        os.makedirs(dst, exist_ok=True)
-        for f in os.listdir(src):
-            np.save(os.path.join(dst, f), np.load(os.path.join(src, f)))
+    # 'LiDAL_pseudo' shares the 'LiDAL' artifact namespace (Paths.metric fixes
+    # the reference's dangling path, SURVEY quirk 5) — no flag copying needed.
     cfg_ps = dataclasses.replace(cfg, r_id=1, label_unit="sv", metric_name="LiDAL_pseudo")
     loader_ps = build_train_loader(cfg_ps)
     state_ps = run_train(cfg_ps, loader=loader_ps, max_iter=1)

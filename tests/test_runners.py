@@ -1,0 +1,121 @@
+"""Round orchestrators (frame-level metrics, ReDAL, sv-RAND) over synthetic
+Processing_files trees — the filesystem contract of the reference."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from tests.synth import mini_cfg
+
+N_FRAMES = 8
+N_POINTS = 120
+N_CLASSES = 19
+N_SV = 4
+
+
+@pytest.fixture()
+def artifact_tree(tmp_path):
+    """Round-0 artifacts for 2 sequences x 8 frames: prob/pred/outfeat dumps,
+    frame flags, KMeans+VCCS sv infos/flags, boundary npys."""
+    rng = np.random.default_rng(0)
+    cfg = mini_cfg(str(tmp_path), seqs=("00", "01"), r_id=1, metric_name="ENT", label_unit="fr")
+    from lidal_tpu.data.selection import save_sv_info
+    from lidal_tpu.runtime.paths import Paths, ensure_dir
+
+    p0 = Paths(dataclasses.replace(cfg, r_id=0, label_unit="fr"))
+    gid = {"KMeans": 0, "VCCS": 0}
+    for seq in ("00", "01"):
+        ensure_dir(p0.prob_dir(seq))
+        ensure_dir(p0.pred_dir(seq))
+        ensure_dir(p0.outfeat_dir(seq))
+        ff_dir = ensure_dir(p0.frame_flag_dir(r_id=0))
+        flag = np.zeros(N_FRAMES, bool)
+        flag[0] = True
+        np.save(os.path.join(ff_dir, f"{seq}.npy"), flag)
+        for part in ("KMeans", "VCCS"):
+            svi_dir = ensure_dir(p0.supervoxel_dir(seq, part))
+            svf_dir = ensure_dir(
+                os.path.join(cfg.processing_root, "SK", "sv_flag", part, "0r", seq)
+            )
+            for fi in range(N_FRAMES):
+                name = f"{fi:06d}"
+                prob = rng.dirichlet(np.ones(N_CLASSES), N_POINTS).astype(np.float32)
+                np.save(os.path.join(p0.prob_dir(seq), f"{name}.npy"), prob)
+                np.save(os.path.join(p0.pred_dir(seq), f"{name}.npy"), prob.argmax(1).astype(np.int32))
+                np.save(
+                    os.path.join(p0.outfeat_dir(seq), f"{name}.npy"),
+                    rng.normal(size=(N_POINTS, 96)).astype(np.float32),
+                )
+                point2sv = rng.integers(0, N_SV, N_POINTS).astype(np.int32)
+                sv_gid = np.arange(gid[part], gid[part] + N_SV, dtype=np.int64)
+                gid[part] += N_SV
+                save_sv_info(os.path.join(svi_dir, f"{name}.npz"), point2sv, sv_gid)
+                sv_flag = np.full(N_SV, 1 if fi == 0 else 0, np.int32)
+                np.save(os.path.join(svf_dir, f"{name}.npy"), sv_flag)
+            bdir = ensure_dir(p0.boundary_dir(seq))
+            for fi in range(N_FRAMES):
+                np.save(
+                    os.path.join(bdir, f"{fi:06d}.npy"),
+                    rng.random(N_POINTS).astype(np.float32) * 0.1,
+                )
+    return cfg
+
+
+@pytest.mark.parametrize("metric", ["ENT", "MAR", "CONF", "SEGENT", "CSET", "RAND"])
+def test_frame_metric_rounds(artifact_tree, metric):
+    from lidal_tpu.active.frame_runner import run_frame_metric_round
+    from lidal_tpu.runtime.paths import Paths
+
+    cfg = dataclasses.replace(artifact_tree, metric_name=metric, label_unit="fr")
+    flags = run_frame_metric_round(cfg, metric, rng=np.random.default_rng(1))
+    total = 2 * N_FRAMES
+    # 2 frames were labeled at round 0; round adds round(0.01 * 16) = 0 -> at
+    # least preserves; with our tiny set num_add == 0, so patch: use frac via
+    # flags' invariants instead
+    assert flags.shape == (total,)
+    assert flags[0] and flags[N_FRAMES]  # round-0 labels preserved
+    out_dir = Paths(cfg).frame_flag_dir(metric=metric)
+    assert os.path.exists(os.path.join(out_dir, "00.npy"))
+    assert os.path.exists(os.path.join(out_dir, "01.npy"))
+
+
+def test_cset_adds_most_distant(artifact_tree):
+    # CSET with a controlled feature layout: frame 0 labeled; ensure selection
+    # machinery returns the k-center greedy result through the runner
+    from lidal_tpu.active import frame_level as fl
+
+    rng = np.random.default_rng(2)
+    feats = rng.normal(size=(10, 4))
+    feats[7] += 100.0  # far outlier
+    flag = np.zeros(10, bool)
+    flag[0] = True
+    out = fl.core_set_select(feats, flag, frac=0.1)
+    assert out[7]
+
+
+def test_redal_round(artifact_tree):
+    from lidal_tpu.active.redal_runner import run_redal_round
+    from lidal_tpu.runtime.paths import Paths
+
+    cfg = dataclasses.replace(artifact_tree, metric_name="ReDAL", label_unit="sv")
+    # 1% budget must cover at least a few ~30-point supervoxels
+    res = run_redal_round(cfg, train_point_num=20_000)
+    assert len(res.added) >= 1
+    out_dir = Paths(cfg).sv_flag_dir("00")
+    assert len(os.listdir(out_dir)) == N_FRAMES
+    # stats cached for the next round
+    assert os.path.exists(
+        os.path.join(cfg.processing_root, "SK", "super_voxel", "VCCS", "sv_pnums.npy")
+    )
+
+
+def test_sv_rand_round(artifact_tree):
+    from lidal_tpu.active.redal_runner import run_sv_rand_round
+
+    cfg = dataclasses.replace(artifact_tree, metric_name="RAND", label_unit="sv")
+    flags = run_sv_rand_round(cfg, train_point_num=20_000, rng=np.random.default_rng(3))
+    before = 2 * N_SV  # frames 0 of both seqs
+    added = (flags == 1).sum() - before
+    assert added >= 1
