@@ -129,20 +129,36 @@ def score_command(cfg: RunConfig) -> None:
 
 
 def prep_command(cfg: RunConfig, stage: str) -> None:
-    from lidal_tpu.data import semantic_kitti as sk
-
     data = cfg.data
-    seq_frames = {s: sk.list_frames(cfg.data_root, [s]) for s in data.train_split}
-    read_xyz = lambda p: sk.read_frame(p, with_labels=False)[0]  # noqa: E731
+    if cfg.dataset_name == "NU":
+        from lidal_tpu.data import nuscenes as nu
+        from lidal_tpu.runtime.train_loop import nu_seq_frames
+
+        seq_frames = nu_seq_frames(cfg)
+        read_xyz = lambda e: nu.read_frame(e, with_labels=False)[0]  # noqa: E731
+    else:
+        from lidal_tpu.data import semantic_kitti as sk
+
+        seq_frames = {s: sk.list_frames(cfg.data_root, [s]) for s in data.train_split}
+        read_xyz = lambda p: sk.read_frame(p, with_labels=False)[0]  # noqa: E731
 
     if stage == "grids":
-        from lidal_tpu.prep.grid import prepare_sk_grids
+        if cfg.dataset_name == "NU":
+            from lidal_tpu.prep.grid import prepare_nu_grids
 
-        prepare_sk_grids(cfg, verbose=True)
+            prepare_nu_grids(cfg, verbose=True)
+        else:
+            from lidal_tpu.prep.grid import prepare_sk_grids
+
+            prepare_sk_grids(cfg, verbose=True)
     elif stage == "supervoxels":
         from lidal_tpu.prep.supervoxel_kmeans import prepare_supervoxels_kmeans
 
         prepare_supervoxels_kmeans(cfg, seq_frames, read_xyz, verbose=True)
+    elif stage == "vccs":
+        from lidal_tpu.prep.supervoxel_vccs import prepare_supervoxels_vccs
+
+        prepare_supervoxels_vccs(cfg, seq_frames, read_xyz, verbose=True)
     elif stage == "boundary":
         from lidal_tpu.prep.surface_variation import prepare_surface_variation
 

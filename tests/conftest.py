@@ -17,6 +17,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Tests compare against float32 numpy oracles; keep MXU-style bf16 out of tests.
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache: model-sized test graphs take minutes to compile
+# on CPU; repeated pytest runs hit the cache instead.
+_cache = os.path.expanduser("~/.cache/lidal_tpu_xla_cpu")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+try:
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except Exception:
+    pass
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
