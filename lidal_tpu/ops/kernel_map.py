@@ -83,7 +83,7 @@ def build_subm_nbr(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
       [cap, 27] int32 neighbor indices; sentinel ``cap`` where absent/invalid.
     """
     from lidal_tpu.ops.hashing import SENTINEL_KEY
-    from lidal_tpu.ops.merge_lookup import lookup_sorted
+    from lidal_tpu.ops.merge_lookup import lookup_sorted_many
 
     cap = coords.shape[0]
     key_hi, key_lo = pack_keys(coords, valid)
@@ -92,11 +92,9 @@ def build_subm_nbr(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     d_lo = jnp.asarray([dz for _, _, dz in offs], jnp.int32)
     q_hi = jnp.where(valid[None, :], key_hi[None, :] + d_hi[:, None], SENTINEL_KEY)
     q_lo = jnp.where(valid[None, :], key_lo[None, :] + d_lo[:, None], SENTINEL_KEY)
-    # static loop, NOT vmap: vmapping lookup_sorted turns its contiguous
-    # slice-window loads into generic (slow-path) gathers.
-    nbr26 = jnp.stack(
-        [lookup_sorted(key_hi, key_lo, q_hi[j], q_lo[j]) for j in range(len(offs))]
-    )
+    # one fused 26-stream merge (NOT vmap of single lookups: vmapping would turn
+    # the contiguous slice-window loads into generic slow-path gathers)
+    nbr26 = lookup_sorted_many(key_hi, key_lo, q_hi, q_lo)
     own = jnp.arange(cap, dtype=jnp.int32)
     center = jnp.where(valid, own, cap)
     nbr = jnp.concatenate([nbr26[:CENTER3], center[None, :], nbr26[CENTER3:]], axis=0)

@@ -105,3 +105,69 @@ def lookup_sorted(t_hi, t_lo, q_hi, q_lo, tile: int = 512):
     hit_lo = take_values(t_lo, pos, sorted_unique=True)
     found = (hit_hi == q_hi) & (hit_lo == q_lo) & (q_hi != SENTINEL_KEY)
     return jnp.where(found, out, n).astype(jnp.int32)
+
+
+def lookup_sorted_many(t_hi, t_lo, q_hi, q_lo, tile: int = 512):
+    """G sorted query streams against ONE sorted table, fully batched.
+
+    Semantically ``stack([lookup_sorted(t, q[g]) for g])`` but with the G
+    streams' tiles flattened into single fused ops, amortizing the per-lookup
+    fixed costs (this is the 26-offset rulebook builder's hot path).
+
+    Args:
+      t_hi/t_lo: [n] sorted table keys (sentinel tail).
+      q_hi/q_lo: [G, m] sorted query streams (sentinels at each row's end).
+
+    Returns: int32 [G, m] table indices (n where absent).
+    """
+    import jax
+
+    n = t_hi.shape[0]
+    g, m = q_hi.shape
+    d_tiles = (n + m + tile - 1) // tile
+    diag = jnp.minimum(jnp.arange(d_tiles + 1, dtype=jnp.int32) * tile, n + m)
+
+    # diagonal splits for all streams: vmap is fine here (tiny arrays)
+    a = jax.vmap(lambda qh, ql: _diagonal_split(t_hi, t_lo, qh, ql, diag))(q_hi, q_lo)
+    b = diag[None, :] - a  # [G, T+1]
+
+    pad_hi = jnp.full((tile,), SENTINEL_KEY)
+    t_hi_p = jnp.concatenate([t_hi, pad_hi])
+    t_lo_p = jnp.concatenate([t_lo, pad_hi])
+    # pad each stream row, then flatten so window starts index one 1-D array
+    q_hi_p = jnp.concatenate([q_hi, jnp.broadcast_to(pad_hi, (g, tile))], axis=1).reshape(-1)
+    q_lo_p = jnp.concatenate([q_lo, jnp.broadcast_to(pad_hi, (g, tile))], axis=1).reshape(-1)
+
+    t_starts = a[:, :-1].reshape(-1)  # [G*T]
+    row_base = (jnp.arange(g, dtype=jnp.int32) * (m + tile))[:, None]
+    q_starts = (b[:, :-1] + row_base).reshape(-1)
+
+    tw_hi = slice_windows(t_hi_p, t_starts, tile)  # [G*T, D]
+    tw_lo = slice_windows(t_lo_p, t_starts, tile)
+    qw_hi = slice_windows(q_hi_p, q_starts, tile)
+    qw_lo = slice_windows(q_lo_p, q_starts, tile)
+
+    less = key_less(
+        tw_hi[:, None, :], tw_lo[:, None, :], qw_hi[:, :, None], qw_lo[:, :, None]
+    )  # [G*T, Dq, Dt]
+    rank = a[:, :-1].reshape(-1, 1) + less.sum(axis=-1).astype(jnp.int32)  # [G*T, D]
+
+    # scatter into the flattened [G, m] output; stream g's query j lives at
+    # flat position g*m + j and is consumed by the tile with b_t <= j < b_{t+1}
+    ar = jnp.arange(tile, dtype=jnp.int32)
+    j_local = (b[:, :-1, None] + ar[None, None, :]).reshape(-1, tile)  # [G*T, D]
+    valid = (j_local < b[:, 1:].reshape(-1, 1)) & (j_local < m)
+    flat_j = (jnp.arange(g, dtype=jnp.int32) * m)[:, None, None] + j_local.reshape(
+        g, d_tiles, tile
+    )
+    flat_j = flat_j.reshape(-1, tile)
+    out = jnp.zeros((g * m,), jnp.int32).at[
+        jnp.where(valid, flat_j, g * m)
+    ].set(jnp.where(valid, rank, 0), mode="drop")
+    out = out.reshape(g, m)
+
+    pos = jnp.minimum(out, n - 1)
+    hit_hi = take_values(t_hi, pos.reshape(-1), sorted_unique=False).reshape(g, m)
+    hit_lo = take_values(t_lo, pos.reshape(-1), sorted_unique=False).reshape(g, m)
+    found = (hit_hi == q_hi) & (hit_lo == q_lo) & (q_hi != SENTINEL_KEY)
+    return jnp.where(found, out, n).astype(jnp.int32)

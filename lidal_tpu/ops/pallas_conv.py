@@ -40,12 +40,21 @@ def _make_kernel(k: int, cin: int, cin_pad: int, cout: int, groups: int):
     def _kernel(lo_ref, nb_ref, nbr_ref, w_ref, feats_hbm, out_ref, scratch, sem):
         t = pl.program_id(0)
         nbr_tile = nbr_ref[:]  # [T, K] int32
+        # one-hot rows laid out t-major (t*gsize + k), so the gathered matrix
+        # reshapes to [T, gsize*cin] with NO transpose for the tap contraction
         iota_n = jax.lax.broadcasted_iota(jnp.int32, (TILE_M, TILE_N), 1)
         acc0 = jnp.zeros((TILE_M, cout), jnp.float32)
 
         def group_acc(g, acc_g):
             lo = lo_ref[t, g]
             nblocks = nb_ref[t, g]
+            # w for the group's taps, flattened to [gsize*cin, cout]
+            wg = (
+                w_ref[g * gsize : (g + 1) * gsize].astype(jnp.bfloat16).reshape(
+                    gsize * cin, cout
+                )
+            )
+            locals_g = nbr_tile[:, g * gsize : (g + 1) * gsize]  # [T, gsize]
 
             def body(bi, acc):
                 block = lo + bi
@@ -55,13 +64,26 @@ def _make_kernel(k: int, cin: int, cin_pad: int, cout: int, groups: int):
                 copy.start()
                 copy.wait()
                 blk = scratch[:, :cin].astype(jnp.bfloat16)  # [TN, cin]
-                for kk in range(g * gsize, (g + 1) * gsize):
-                    local = nbr_tile[:, kk][:, None] - block * TILE_N  # [T, 1]
-                    onehot = (local == iota_n).astype(jnp.bfloat16)  # [T, TN]
-                    gth = jnp.dot(onehot, blk, preferred_element_type=jnp.float32)
-                    wk = w_ref[kk].astype(jnp.bfloat16)  # [cin, cout]
+                # k-major stacking: per-tap one-hots concatenated along rows
+                # (sublane concat is Mosaic-legal; interleaved reshapes are not)
+                onehot2 = jnp.concatenate(
+                    [
+                        (locals_g[:, j][:, None] - block * TILE_N == iota_n).astype(
+                            jnp.bfloat16
+                        )
+                        for j in range(gsize)
+                    ],
+                    axis=0,
+                )  # [gsize*T, TN]
+                # ONE big gather-matmul for all taps of the group (M = gsize*T)
+                gth = jnp.dot(onehot2, blk, preferred_element_type=jnp.float32)
+                gb = gth.astype(jnp.bfloat16)
+                # tap contraction: static contiguous row slices
+                for j in range(gsize):
                     acc = acc + jnp.dot(
-                        gth.astype(jnp.bfloat16), wk, preferred_element_type=jnp.float32
+                        gb[j * TILE_M : (j + 1) * TILE_M],
+                        wg[j * cin : (j + 1) * cin],
+                        preferred_element_type=jnp.float32,
                     )
                 return acc
 

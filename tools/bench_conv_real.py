@@ -50,10 +50,20 @@ def t_pull(name, fn, iters=20):
     print(f"{name:42s} {(time.perf_counter()-t0)/iters*1e3:8.2f} ms", flush=True)
 
 
-t_pull("pallas conv c32 (real rulebook)", lambda: subm_conv_pallas(feats, w, nbr))
-t_pull("xla conv c32 (real rulebook)", lambda: subm_conv(feats, w, nbr))
+import lidal_tpu.ops.conv as conv_mod
+
+def xla_conv(f, ww, i):
+    conv_mod.USE_PALLAS = False
+    try:
+        return conv_mod.subm_conv(f, ww, i)
+    finally:
+        conv_mod.USE_PALLAS = None
+
+t_pull("pallas conv c32 (1st)", lambda: subm_conv_pallas(feats, w, nbr))
+t_pull("xla conv c32", lambda: xla_conv(feats, w, nbr))
+t_pull("pallas conv c32 (2nd)", lambda: subm_conv_pallas(feats, w, nbr))
 cin2 = cout2 = 96
 feats2 = jnp.asarray(rng.normal(size=(N, cin2)).astype(np.float32))
 w2 = jnp.asarray(rng.normal(size=(K, cin2, cout2)).astype(np.float32) * 0.05)
-t_pull("pallas conv c96 (real rulebook)", lambda: subm_conv_pallas(feats2, w2, nbr))
-t_pull("xla conv c96 (real rulebook)", lambda: subm_conv(feats2, w2, nbr))
+t_pull("pallas conv c96", lambda: subm_conv_pallas(feats2, w2, nbr))
+t_pull("xla conv c96", lambda: xla_conv(feats2, w2, nbr))
