@@ -27,7 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lidal_tpu.active.nn_match import HashGrid, build_grid, nn_query
+from lidal_tpu.active.nn_match import (
+    HashGrid,
+    build_grid,
+    nn_query_prepared,
+    prepare_queries,
+)
 
 EPSILON = 1e-5  # reference LiDAL.py:64
 NEI_NUM = 24  # reference LiDAL.py:119
@@ -60,15 +65,14 @@ def neighbor_ids(frame_id: int, num_frames: int, nei_num: int = NEI_NUM) -> List
 @jax.jit
 def _accumulate_neighbor(
     q_prob: jnp.ndarray,  # [p, c]
-    q_xyz: jnp.ndarray,  # [p, 3] global coords
-    q_valid: jnp.ndarray,  # [p]
+    pq,  # PreparedQueries (cell-sorted once, shared by all neighbors)
     n_prob: jnp.ndarray,  # [m, c] neighbor prob rows in ORIGINAL point order
     grid: HashGrid,
     sum_prob: jnp.ndarray,
     interd: jnp.ndarray,
     map_count: jnp.ndarray,
 ):
-    dist, nn_src, found = nn_query(grid, q_xyz, q_valid, cell=DIS_THRESH)
+    dist, nn_src, found = nn_query_prepared(grid, pq)
     match = found & (dist <= DIS_THRESH)
     npb = n_prob[nn_src]  # [p, c]
     qe = q_prob + EPSILON
@@ -94,14 +98,17 @@ def _finalize(sum_prob, interd, map_count):
 
 @jax.jit
 def _score_frame_device(q_prob, q_xyz, q_valid, nei_probs, grids):
-    """One dispatch per frame: lax.scan over the stacked 24 neighbor grids."""
+    """One dispatch per frame: lax.scan over the stacked 24 neighbor grids.
+    The query cell-sort + probe keys are origin-free, so they are prepared once
+    and shared by every neighbor."""
+    pq = prepare_queries(q_xyz, q_valid, DIS_THRESH)
     sum_prob0 = q_prob  # LiDAL.py:63: starts as the query prob copy
     interd0 = jnp.zeros(q_prob.shape[:1], jnp.float32)
     map_count0 = jnp.ones(q_prob.shape[:1], jnp.float32)  # LiDAL.py:61
 
     def body(carry, nei):
         n_prob, grid = nei
-        return _accumulate_neighbor(q_prob, q_xyz, q_valid, n_prob, grid, *carry), None
+        return _accumulate_neighbor(q_prob, pq, n_prob, grid, *carry), None
 
     (sum_prob, interd, map_count), _ = jax.lax.scan(
         body, (sum_prob0, interd0, map_count0), (nei_probs, grids)

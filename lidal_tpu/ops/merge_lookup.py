@@ -107,6 +107,13 @@ def lookup_sorted(t_hi, t_lo, q_hi, q_lo, tile: int = 512):
     return jnp.where(found, out, n).astype(jnp.int32)
 
 
+def lower_bound_sorted_many(t_hi, t_lo, q_hi, q_lo, tile: int = 512):
+    """Like :func:`lookup_sorted_many` but returns the raw lower-bound POSITIONS
+    [G, m] (insertion points) without the found/sentinel check — used by the
+    hash-grid NN matcher to locate candidate runs."""
+    return _merge_positions(t_hi, t_lo, q_hi, q_lo, tile)
+
+
 def lookup_sorted_many(t_hi, t_lo, q_hi, q_lo, tile: int = 512):
     """G sorted query streams against ONE sorted table, fully batched.
 
@@ -120,6 +127,19 @@ def lookup_sorted_many(t_hi, t_lo, q_hi, q_lo, tile: int = 512):
 
     Returns: int32 [G, m] table indices (n where absent).
     """
+    n = t_hi.shape[0]
+    g, m = q_hi.shape
+    out = _merge_positions(t_hi, t_lo, q_hi, q_lo, tile)
+    pos = jnp.minimum(out, n - 1)
+    hit_hi = take_values(t_hi, pos.reshape(-1), sorted_unique=False).reshape(g, m)
+    hit_lo = take_values(t_lo, pos.reshape(-1), sorted_unique=False).reshape(g, m)
+    found = (hit_hi == q_hi) & (hit_lo == q_lo) & (q_hi != SENTINEL_KEY)
+    return jnp.where(found, out, n).astype(jnp.int32)
+
+
+def _merge_positions(t_hi, t_lo, q_hi, q_lo, tile: int = 512):
+    """Core of the batched merge: lower-bound positions [G, m] of G sorted query
+    streams in one sorted table."""
     import jax
 
     n = t_hi.shape[0]
@@ -164,10 +184,4 @@ def lookup_sorted_many(t_hi, t_lo, q_hi, q_lo, tile: int = 512):
     out = jnp.zeros((g * m,), jnp.int32).at[
         jnp.where(valid, flat_j, g * m)
     ].set(jnp.where(valid, rank, 0), mode="drop")
-    out = out.reshape(g, m)
-
-    pos = jnp.minimum(out, n - 1)
-    hit_hi = take_values(t_hi, pos.reshape(-1), sorted_unique=False).reshape(g, m)
-    hit_lo = take_values(t_lo, pos.reshape(-1), sorted_unique=False).reshape(g, m)
-    found = (hit_hi == q_hi) & (hit_lo == q_lo) & (q_hi != SENTINEL_KEY)
-    return jnp.where(found, out, n).astype(jnp.int32)
+    return out.reshape(g, m)

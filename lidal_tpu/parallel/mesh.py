@@ -50,3 +50,29 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
 
 def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, replicated_spec(mesh)), tree)
+
+
+def sync_hosts(name: str = "fence") -> None:
+    """Barrier across hosts at filesystem-write fences.
+
+    The reference used ``dist.barrier()`` around rank-0 artifact writes
+    (``sk_dataloader.py:30-36,131-132``); multi-host TPU runs use
+    ``multihost_utils.sync_global_devices`` at the same points.  No-op for a
+    single process.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def process_shard(n_items: int, contiguous: bool = True):
+    """(start, stop, step) slice of [0, n_items) for this host — the reference's
+    contiguous score-loader split (``sk_dataloader.py:196-198``) generalized."""
+    rank, world = jax.process_index(), jax.process_count()
+    if world == 1:
+        return 0, n_items, 1
+    if contiguous:
+        per = -(-n_items // world)
+        return rank * per, min((rank + 1) * per, n_items), 1
+    return rank, n_items, world
