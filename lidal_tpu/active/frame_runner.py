@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Dict, List, Sequence
+from typing import List, Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -16,9 +16,8 @@ precomputed into a :class:`PointPlan` once per batch.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from lidal_tpu.ops.hashing import pack_keys, lookup

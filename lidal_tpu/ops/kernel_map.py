@@ -27,10 +27,9 @@ from __future__ import annotations
 import itertools
 from typing import NamedTuple, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 
-from lidal_tpu.ops.hashing import pack_keys, lookup
+from lidal_tpu.ops.hashing import pack_keys
 from lidal_tpu.ops.voxelize import unique_voxels
 
 # Kernel-3 offsets in x-major product order; OFFSETS3[K3 - 1 - k] == -OFFSETS3[k],

@@ -13,8 +13,6 @@ matters (document-and-diverge).
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
-
 import numpy as np
 
 from lidal_tpu.config import RunConfig

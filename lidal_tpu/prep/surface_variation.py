@@ -10,8 +10,6 @@ with the k-NN search batched.
 from __future__ import annotations
 
 import os
-from typing import Sequence
-
 import numpy as np
 
 from lidal_tpu.config import RunConfig
