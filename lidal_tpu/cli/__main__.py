@@ -31,11 +31,33 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data_root", type=str, default="Semantic_kitti/dataset/sequences")
     p.add_argument("--processing_root", type=str, default="Processing_files")
     p.add_argument("--checkpoint_root", type=str, default="check_points")
+    p.add_argument("--batch_size", type=int, default=None, help="frames per batch")
+    p.add_argument("--point_cap", type=int, default=None,
+                   help="fixed per-frame point capacity")
+    p.add_argument("--level_caps", type=str, default=None,
+                   help="comma-separated voxel capacities per UNet level, e.g. 131072,49152,16384,6144,2048")
+    p.add_argument("--train_seqs", type=str, default=None,
+                   help="comma-separated sequence ids overriding the train split")
+    p.add_argument("--val_seqs", type=str, default=None)
 
 
 def _cfg(args) -> RunConfig:
     fields = {f.name for f in dataclasses.fields(RunConfig)}
-    return RunConfig(**{k: v for k, v in vars(args).items() if k in fields})
+    cfg = RunConfig(**{k: v for k, v in vars(args).items() if k in fields})
+    overrides = {}
+    if args.batch_size is not None:
+        overrides["batch_size"] = args.batch_size
+    if args.point_cap is not None:
+        overrides["point_cap"] = args.point_cap
+    if args.level_caps is not None:
+        overrides["level_caps"] = tuple(int(c) for c in args.level_caps.split(","))
+    if args.train_seqs is not None:
+        overrides["train_split"] = tuple(args.train_seqs.split(","))
+    if args.val_seqs is not None:
+        overrides["val_split"] = tuple(args.val_seqs.split(","))
+    if overrides:
+        cfg = dataclasses.replace(cfg, data_override=dataclasses.replace(cfg.data, **overrides))
+    return cfg
 
 
 def main(argv=None) -> int:

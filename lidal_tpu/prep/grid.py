@@ -29,8 +29,10 @@ def prepare_sk_grids(cfg: RunConfig, seqs: Sequence[str] | None = None, verbose:
     seqs = seqs or cfg.data.train_split
     for seq in seqs:
         seq_dir = os.path.join(cfg.data_root, seq)
-        poses = sequence_poses(seq_dir)
         frames = sk.list_frames(cfg.data_root, [seq])
+        if not frames:  # sequence absent from this dataset copy
+            continue
+        poses = sequence_poses(seq_dir)
         assert len(poses) >= len(frames), (seq, len(poses), len(frames))
         out_dir = ensure_dir(paths.grid_dir(seq))
         for i, fr in enumerate(frames):
