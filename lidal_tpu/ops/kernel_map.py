@@ -97,7 +97,7 @@ def build_subm_nbr(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     q_lo = jnp.where(valid[None, :], key_lo[None, :] + d_lo[:, None], SENTINEL_KEY)
     # one fused 13-stream merge (NOT vmap of single lookups: vmapping would turn
     # the contiguous slice-window loads into generic slow-path gathers)
-    nbr13 = lookup_sorted_many(key_hi, key_lo, q_hi, q_lo)  # [13, cap]
+    nbr13 = lookup_sorted_many(key_hi, key_lo, q_hi, q_lo, unique_queries=True)  # [13, cap]
     own = jnp.arange(cap, dtype=jnp.int32)
     mirrors = []
     for k in range(CENTER3):

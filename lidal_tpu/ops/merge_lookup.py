@@ -1,4 +1,4 @@
-"""Merge-path lookup of SORTED queries in a sorted key table.
+"""Merge-rank lookup of SORTED queries in a sorted key table (bitonic merge).
 
 The generic ``hashing.lookup`` does an 18-round vectorized binary search — 18
 serial passes of random gathers per query, the dominant cost of kernel-map
@@ -7,181 +7,207 @@ kernel offset adds a constant to the packed (hi, lo) key (field-independent
 packing => no carries), which preserves order.  Looking up M sorted queries in an
 N-entry sorted table is a *merge*, not M independent searches.
 
-Algorithm (merge-path tiling):
-1. Split the merged sequence (length N + M) into tiles of D elements.  The tile
-   boundaries (how many table entries vs queries each tile consumes) are found
-   with one small binary search per tile boundary — T+1 searches instead of M.
-2. Within a tile, every consumed query's lower bound provably lies inside the
-   tile's <= D-entry table window, so a [D_q x D_t] all-pairs key comparison on
-   the VPU yields exact ranks.  Table/query windows are contiguous slices —
-   no random gathers in the hot path.
-3. Ranks scatter back by query index (disjoint), one final equality gather
-   validates hits.
+Algorithm (bitonic merge rank — replaces round 1's all-pairs merge-path tiling,
+which cost O((N+M)·D) VPU compares for tile size D plus window gathers):
 
-Cost: O((N+M)/D) small searches + O((N+M) * D) vector compares, HBM-friendly.
+1. Concatenate ``ascending table ++ reversed queries`` — a *bitonic* sequence.
+   The element's role (table vs query) is packed into the low bit of the lo key
+   (queries sort before equal table keys — the lower-bound tie rule), so the
+   merge carries exactly two int32 arrays.
+2. Run the bitonic-merge network: log2(N+M) compare-exchange stages, each
+   expressed as rolls + parity selects (contiguous slices, no gathers).
+   Layout-aware staging keeps every roll on the cheap sublane axis: strides
+   >= 128 run on a [G, L/128, 128] view; ONE transpose moves lanes onto
+   sublanes for the seven small strides (64..1).
+3. In the merged order, a query's lower bound is the number of table elements
+   before it (one triangular-matmul prefix sum, ``ops.prefix``), its original
+   index is its rank among queries (``iota - table_prefix``), and — when query
+   keys are unique — a *hit* means the next merged element is a table entry
+   with an equal key (queries sort immediately before their equal table key).
+   Everything is computed in the post-merge layout; one disjoint scatter
+   writes results back.  No per-query gathers anywhere.
+
+All G streams batch on a leading axis (the compare-exchange stages vectorize
+across streams).
+
+Key-range contract: real (non-sentinel) ``lo`` keys must be < 2**30 (the flag
+bit shifts lo left by one).  Both producers satisfy this: voxel packing has
+lo = z + 1 (grid coords, ``hashing.pack_keys``) and the NN hash grid packs
+|y|,|z| cell fields into 27 bits (``active/nn_match.py``).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-from lidal_tpu.ops.gather import slice_windows, take_values
-from lidal_tpu.ops.hashing import SENTINEL_KEY, key_less
+from lidal_tpu.ops.gather import take_values
+from lidal_tpu.ops.hashing import SENTINEL_KEY
 
 
-def _diagonal_split(t_hi, t_lo, q_hi, q_lo, d):
-    """For each diagonal offset in ``d`` [T+1], the number of table entries
-    consumed before it in the merge (ties: queries first => lower bound)."""
+def _cmpx(eh: jnp.ndarray, el: jnp.ndarray, axis: int, bit: int):
+    """One bitonic compare-exchange stage: partner = index XOR ``bit`` along
+    ``axis``.  Expressed with rolls + parity selects (contiguous slices —
+    interleaving reshapes at small strides compile pathologically on TPU).
+    Rolls never wrap across a 2*bit block for the positions that use them, so
+    wrap-around values are never selected."""
+    pos_shape = [1] * eh.ndim
+    pos_shape[axis] = -1
+    pos = ((jnp.arange(eh.shape[axis], dtype=jnp.int32) & bit) == 0).reshape(pos_shape)
+    ph = jnp.where(pos, jnp.roll(eh, -bit, axis=axis), jnp.roll(eh, bit, axis=axis))
+    pl_ = jnp.where(pos, jnp.roll(el, -bit, axis=axis), jnp.roll(el, bit, axis=axis))
+    part_less = (ph < eh) | ((ph == eh) & (pl_ < el))
+    self_less = (eh < ph) | ((eh == ph) & (el < pl_))
+    take = jnp.where(pos, part_less, self_less)
+    return jnp.where(take, ph, eh), jnp.where(take, pl_, el)
+
+
+def _merge_rank(t_hi, t_lo, q_hi, q_lo, with_found: bool):
+    """Lower-bound positions [G, m] of G sorted query streams in one sorted
+    table; when ``with_found`` additionally folds the hit check (valid only for
+    strictly-increasing real query keys) and returns ``n`` for misses."""
     n = t_hi.shape[0]
-    m = q_hi.shape[0]
-    lo = jnp.maximum(0, d - m)
-    hi = jnp.minimum(d, n)
-    # smallest a in [lo, hi] with Q(a): a >= n or d-a-1 < 0 or A[a] >= B[d-a-1]
-    import math
+    g, m = q_hi.shape
+    length = n + m
+    lp = max(256, 1 << (length - 1).bit_length())
+    pad = lp - length
 
-    steps = max(1, math.ceil(math.log2(n + m + 2)))
-    for _ in range(steps):
-        mid = (lo + hi) >> 1
-        j = d - mid - 1
-        a_idx = jnp.minimum(mid, n - 1)
-        b_idx = jnp.clip(j, 0, m - 1)
-        a_lt_b = key_less(t_hi[a_idx], t_lo[a_idx], q_hi[b_idx], q_lo[b_idx])
-        q_ok = (mid >= n) | (j < 0) | ~a_lt_b
-        lo = jnp.where(q_ok, lo, mid + 1)
-        hi = jnp.where(q_ok, mid, hi)
-    return lo  # == hi
+    # Packed lo2 = (lo << 1) | is_table; sentinels keep order: query-sentinel
+    # (S, S-1) < table-sentinel (S, S).  Pads are query-sentinels: they absorb
+    # tail query ranks >= the first sentinel query's rank, where every slot
+    # receives the same value — bit-identical results either way.
+    t_sent = t_hi == SENTINEL_KEY
+    tl2 = jnp.where(t_sent, SENTINEL_KEY, (t_lo << 1) | 1)
+    q_sent = q_hi == SENTINEL_KEY
+    ql2 = jnp.where(q_sent, SENTINEL_KEY - 1, q_lo << 1)
+
+    eh = jnp.concatenate(
+        [
+            jnp.broadcast_to(t_hi[None, :], (g, n)),
+            jnp.full((g, pad), SENTINEL_KEY, jnp.int32),
+            q_hi[:, ::-1],
+        ],
+        axis=1,
+    )
+    el = jnp.concatenate(
+        [
+            jnp.broadcast_to(tl2[None, :], (g, n)),
+            jnp.full((g, pad), SENTINEL_KEY - 1, jnp.int32),
+            ql2[:, ::-1],
+        ],
+        axis=1,
+    )
+
+    # --- bitonic merge, layout-aware (rolls stay on the sublane axis) ---
+    r = lp // 128
+    eh3 = eh.reshape(g, r, 128)
+    el3 = el.reshape(g, r, 128)
+    s = lp >> 1
+    while s >= 128:
+        eh3, el3 = _cmpx(eh3, el3, axis=1, bit=s // 128)
+        s >>= 1
+    eh3 = eh3.swapaxes(1, 2)  # [G, 128, r]: flat merged index = axis2*128 + axis1
+    el3 = el3.swapaxes(1, 2)
+    while s >= 1:
+        eh3, el3 = _cmpx(eh3, el3, axis=1, bit=s)
+        s >>= 1
+
+    # --- ranks in the post-merge (transposed) layout; no un-transpose needed ---
+    is_t = el3 & 1  # 1 for table elements (incl. table sentinels)
+    # exclusive prefix over the flat merged order: triangular matmul along the
+    # 128-wide flat rows (axis 1) + a short cumsum of per-row totals (axis 2)
+    tri = jnp.triu(jnp.ones((128, 128), jnp.float32), k=1)  # tri[k, l] = 1 for k < l
+    in_row = jnp.einsum("kl,gkr->glr", tri, is_t.astype(jnp.float32)).astype(jnp.int32)
+    row_tot = is_t.sum(axis=1)  # [G, r]
+    row_pre = jnp.cumsum(row_tot, axis=1) - row_tot
+    tpre = in_row + row_pre[:, None, :]  # table count strictly before, [G, 128, r]
+
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (g, 128, r), 1)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (g, 128, r), 2)
+    qrank = iota_r * 128 + iota_k - tpre  # rank among queries == original index
+
+    if with_found:
+        # hit <=> the NEXT merged element is a table entry with an equal key
+        # (with unique query keys, a query sorts immediately before its match).
+        nh = jnp.roll(eh3, -1, axis=1)
+        nl = jnp.roll(el3, -1, axis=1)
+        bh = jnp.roll(eh3[:, 0:1, :], -1, axis=2)  # flat-row boundary: tiny lane roll
+        bl = jnp.roll(el3[:, 0:1, :], -1, axis=2)
+        at127 = iota_k == 127
+        nh = jnp.where(at127, bh, nh)
+        nl = jnp.where(at127, bl, nl)
+        found = (
+            ((nl & 1) == 1)
+            & (nh == eh3)
+            & ((nl >> 1) == (el3 >> 1))
+            & (eh3 != SENTINEL_KEY)
+        )
+        val = jnp.where(found, tpre, n)
+    else:
+        val = tpre
+
+    okq = (is_t == 0) & (qrank < m)
+    row_base = (jnp.arange(g, dtype=jnp.int32) * m)[:, None, None]
+    flat_tgt = jnp.where(okq, row_base + qrank, g * m)
+    out = (
+        jnp.zeros((g * m,), jnp.int32)
+        .at[flat_tgt.reshape(-1)]
+        .set(jnp.where(okq, val, 0).reshape(-1), mode="drop")
+    )
+    return out.reshape(g, m)
 
 
-def lookup_sorted(t_hi, t_lo, q_hi, q_lo, tile: int = 512):
+def lookup_sorted(t_hi, t_lo, q_hi, q_lo, tile: int | None = None):
     """Find each sorted query key in the sorted sentinel-padded table.
 
     Args:
       t_hi/t_lo: [n] sorted table keys (invalid tail = SENTINEL_KEY).
-      q_hi/q_lo: [m] sorted query keys (invalid = SENTINEL_KEY, at the end).
-      tile: merge tile size D.
+      q_hi/q_lo: [m] sorted query keys (invalid = SENTINEL_KEY, at the end);
+        duplicates allowed.
+      tile: unused (kept for API compat).
 
     Returns:
       int32 [m]: table index of each query, or ``n`` when absent/sentinel.
       Bit-identical to ``hashing.lookup`` on sorted queries.
     """
-    n = t_hi.shape[0]
-    m = q_hi.shape[0]
-    d_tiles = (n + m + tile - 1) // tile
-    diag = jnp.minimum(jnp.arange(d_tiles + 1, dtype=jnp.int32) * tile, n + m)
-    a = _diagonal_split(t_hi, t_lo, q_hi, q_lo, diag)  # [T+1]
-    b = diag - a
-
-    # padded windows (pad with sentinel so clamped slices compare as +inf)
-    pad_hi = jnp.full((tile,), SENTINEL_KEY)
-    t_hi_p = jnp.concatenate([t_hi, pad_hi])
-    t_lo_p = jnp.concatenate([t_lo, pad_hi])
-    q_hi_p = jnp.concatenate([q_hi, pad_hi])
-    q_lo_p = jnp.concatenate([q_lo, pad_hi])
-
-    ar = jnp.arange(tile, dtype=jnp.int32)
-    q_win = b[:-1, None] + ar[None, :]  # [T, D] global query index per tile slot
-    tw_hi = slice_windows(t_hi_p, a[:-1], tile)  # [T, D] contiguous slices
-    tw_lo = slice_windows(t_lo_p, a[:-1], tile)
-    qw_hi = slice_windows(q_hi_p, b[:-1], tile)
-    qw_lo = slice_windows(q_lo_p, b[:-1], tile)
-
-    # rank of each query within its tile's table window: #{table < query}
-    less = key_less(
-        tw_hi[:, None, :], tw_lo[:, None, :], qw_hi[:, :, None], qw_lo[:, :, None]
-    )  # [T, Dq, Dt]
-    rank = a[:-1, None] + less.sum(axis=-1).astype(jnp.int32)  # [T, D]
-
-    # Assemble per-query results: query j is consumed by the unique tile t with
-    # b_t <= j < b_{t+1}.  A disjoint scatter measures 3x faster than the
-    # searchsorted+gather alternative on this chip.
-    j = q_win  # global query indices per tile row
-    valid = (j < b[1:, None]) & (j < m)
-    out = jnp.zeros((m,), jnp.int32).at[jnp.where(valid, j, m)].set(
-        jnp.where(valid, rank, 0), mode="drop"
-    )
-
-    pos = jnp.minimum(out, n - 1)  # non-decreasing in query order
-    hit_hi = take_values(t_hi, pos, sorted_unique=True)
-    hit_lo = take_values(t_lo, pos, sorted_unique=True)
-    found = (hit_hi == q_hi) & (hit_lo == q_lo) & (q_hi != SENTINEL_KEY)
-    return jnp.where(found, out, n).astype(jnp.int32)
+    return lookup_sorted_many(t_hi, t_lo, q_hi[None, :], q_lo[None, :], tile)[0]
 
 
-def lower_bound_sorted_many(t_hi, t_lo, q_hi, q_lo, tile: int = 512):
-    """Like :func:`lookup_sorted_many` but returns the raw lower-bound POSITIONS
-    [G, m] (insertion points) without the found/sentinel check — used by the
-    hash-grid NN matcher to locate candidate runs."""
-    return _merge_positions(t_hi, t_lo, q_hi, q_lo, tile)
+def lower_bound_sorted_many(t_hi, t_lo, q_hi, q_lo, tile: int | None = None):
+    """Raw lower-bound POSITIONS [G, m] (insertion points) of G sorted query
+    streams, without the found/sentinel check — used by the hash-grid NN
+    matcher to locate candidate runs.  Duplicate query keys allowed (equal
+    queries receive equal positions)."""
+    del tile
+    return _merge_rank(t_hi, t_lo, q_hi, q_lo, with_found=False)
 
 
-def lookup_sorted_many(t_hi, t_lo, q_hi, q_lo, tile: int = 512):
+def lookup_sorted_many(
+    t_hi, t_lo, q_hi, q_lo, tile: int | None = None, unique_queries: bool = False
+):
     """G sorted query streams against ONE sorted table, fully batched.
 
-    Semantically ``stack([lookup_sorted(t, q[g]) for g])`` but with the G
-    streams' tiles flattened into single fused ops, amortizing the per-lookup
-    fixed costs (this is the 26-offset rulebook builder's hot path).
+    Semantically ``stack([lookup_sorted(t, q[g]) for g])`` — the 26-offset
+    rulebook builder's hot path.
 
     Args:
       t_hi/t_lo: [n] sorted table keys (sentinel tail).
       q_hi/q_lo: [G, m] sorted query streams (sentinels at each row's end).
+      tile: unused (kept for API compat).
+      unique_queries: promise that real query keys are strictly increasing
+        within each stream (true for rulebook streams: constant offsets of a
+        unique sorted table).  Enables the gather-free in-merge hit check.
 
     Returns: int32 [G, m] table indices (n where absent).
     """
+    del tile
+    if unique_queries:
+        return _merge_rank(t_hi, t_lo, q_hi, q_lo, with_found=True)
     n = t_hi.shape[0]
     g, m = q_hi.shape
-    out = _merge_positions(t_hi, t_lo, q_hi, q_lo, tile)
+    out = _merge_rank(t_hi, t_lo, q_hi, q_lo, with_found=False)
     pos = jnp.minimum(out, n - 1)
     hit_hi = take_values(t_hi, pos.reshape(-1), sorted_unique=False).reshape(g, m)
     hit_lo = take_values(t_lo, pos.reshape(-1), sorted_unique=False).reshape(g, m)
     found = (hit_hi == q_hi) & (hit_lo == q_lo) & (q_hi != SENTINEL_KEY)
     return jnp.where(found, out, n).astype(jnp.int32)
-
-
-def _merge_positions(t_hi, t_lo, q_hi, q_lo, tile: int = 512):
-    """Core of the batched merge: lower-bound positions [G, m] of G sorted query
-    streams in one sorted table."""
-    import jax
-
-    n = t_hi.shape[0]
-    g, m = q_hi.shape
-    d_tiles = (n + m + tile - 1) // tile
-    diag = jnp.minimum(jnp.arange(d_tiles + 1, dtype=jnp.int32) * tile, n + m)
-
-    # diagonal splits for all streams: vmap is fine here (tiny arrays)
-    a = jax.vmap(lambda qh, ql: _diagonal_split(t_hi, t_lo, qh, ql, diag))(q_hi, q_lo)
-    b = diag[None, :] - a  # [G, T+1]
-
-    pad_hi = jnp.full((tile,), SENTINEL_KEY)
-    t_hi_p = jnp.concatenate([t_hi, pad_hi])
-    t_lo_p = jnp.concatenate([t_lo, pad_hi])
-    # pad each stream row, then flatten so window starts index one 1-D array
-    q_hi_p = jnp.concatenate([q_hi, jnp.broadcast_to(pad_hi, (g, tile))], axis=1).reshape(-1)
-    q_lo_p = jnp.concatenate([q_lo, jnp.broadcast_to(pad_hi, (g, tile))], axis=1).reshape(-1)
-
-    t_starts = a[:, :-1].reshape(-1)  # [G*T]
-    row_base = (jnp.arange(g, dtype=jnp.int32) * (m + tile))[:, None]
-    q_starts = (b[:, :-1] + row_base).reshape(-1)
-
-    tw_hi = slice_windows(t_hi_p, t_starts, tile)  # [G*T, D]
-    tw_lo = slice_windows(t_lo_p, t_starts, tile)
-    qw_hi = slice_windows(q_hi_p, q_starts, tile)
-    qw_lo = slice_windows(q_lo_p, q_starts, tile)
-
-    less = key_less(
-        tw_hi[:, None, :], tw_lo[:, None, :], qw_hi[:, :, None], qw_lo[:, :, None]
-    )  # [G*T, Dq, Dt]
-    rank = a[:, :-1].reshape(-1, 1) + less.sum(axis=-1).astype(jnp.int32)  # [G*T, D]
-
-    # scatter into the flattened [G, m] output; stream g's query j lives at
-    # flat position g*m + j and is consumed by the tile with b_t <= j < b_{t+1}
-    ar = jnp.arange(tile, dtype=jnp.int32)
-    j_local = (b[:, :-1, None] + ar[None, None, :]).reshape(-1, tile)  # [G*T, D]
-    valid = (j_local < b[:, 1:].reshape(-1, 1)) & (j_local < m)
-    flat_j = (jnp.arange(g, dtype=jnp.int32) * m)[:, None, None] + j_local.reshape(
-        g, d_tiles, tile
-    )
-    flat_j = flat_j.reshape(-1, tile)
-    out = jnp.zeros((g * m,), jnp.int32).at[
-        jnp.where(valid, flat_j, g * m)
-    ].set(jnp.where(valid, rank, 0), mode="drop")
-    return out.reshape(g, m)

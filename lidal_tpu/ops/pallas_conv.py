@@ -3,21 +3,31 @@
 XLA's row gather runs ~16x below HBM bandwidth, and the im2col formulation
 reads 27x the feature bytes.  This kernel exploits the *banded* structure of the
 rulebook: output voxels are sorted x-major, every offset column of ``nbr`` is
-sorted, and the 27 taps cluster into 3 groups by their x-offset (x is the
+sorted, and the taps cluster into groups by their x-offset (x is the
 most-significant sort key, so a group's source indices for an output tile span a
 small contiguous band).  Per grid step and group it:
 
 1. reads the group's precomputed band [block_lo, n_blocks] (scalar prefetch),
-2. DMAs each 256-row feature block HBM -> VMEM once (dynamic trip count),
-3. "gathers" rows with one-hot matmuls on the MXU (Mosaic has no dynamic VMEM
-   indexing: ``onehot[T, TN] @ block[TN, C]`` IS the gather, in bf16),
-4. immediately contracts with the per-tap weights, accumulating in f32.
+2. DMAs each 256-row feature block HBM -> VMEM, double-buffered so the next
+   block's transfer overlaps the current block's MXU work,
+3. folds the per-tap weights FIRST: ``bw_j = block @ w_j`` ([TN, cout] per tap,
+   tiny matmuls), stacking taps along rows -> ``BW [gsize*TN, cout]``,
+4. "gathers + contracts" in ONE wide MXU matmul: ``onehot3 [T, gsize*TN] @ BW``
+   (Mosaic has no dynamic VMEM indexing: the one-hot matmul IS the gather, and
+   with weights pre-folded its contraction dim is gsize*TN = 2304, keeping the
+   128x128 systolic array busy), accumulating in f32.
 
-Sentinel indices (== n) fall outside every band block, match no one-hot row,
+Sentinel indices (== n) fall outside every band block, match no one-hot column,
 and contribute exact zeros — same semantics as the XLA path's zero row.
 
 Tap order contract: ``kernel_map.OFFSETS3`` is an x-major product, so taps
-[0..9), [9..18), [18..27) have x-offset -1, 0, +1 respectively.
+[0..9), [9..18), [18..27) have x-offset -1, 0, +1 respectively (groups=3);
+``OFFSETS2`` splits as [0..4) x-offset 0 and [4..8) x-offset 1 (groups=2).
+
+The same kernel serves every conv in the network (see ``ops/conv.py``):
+subm (nbr [cap, 27], groups=3), down (child [cap_coarse, 8], groups=2), up
+(parent expanded to a per-tap column map [cap_fine, 8], groups=2), and the
+input-gradient passes of all three (mirrored/paired maps, same structure).
 """
 
 from __future__ import annotations
@@ -31,70 +41,91 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_M = 256  # output rows per grid step
 TILE_N = 256  # feature-table rows per DMA block
-GROUP = 9  # taps per x-offset group (kernel-3); kernel-2 maps use 1 group
 
 
-def _make_kernel(k: int, cin: int, cin_pad: int, cout: int, groups: int):
+def _make_kernel(k: int, cin: int, cout: int, groups: int):
     gsize = k // groups
 
     def _kernel(lo_ref, nb_ref, nbr_ref, w_ref, feats_hbm, out_ref, scratch, sem):
         t = pl.program_id(0)
         nbr_tile = nbr_ref[:]  # [T, K] int32
-        # one-hot rows laid out t-major (t*gsize + k), so the gathered matrix
-        # reshapes to [T, gsize*cin] with NO transpose for the tap contraction
         iota_n = jax.lax.broadcasted_iota(jnp.int32, (TILE_M, TILE_N), 1)
-        acc0 = jnp.zeros((TILE_M, cout), jnp.float32)
+        acc = jnp.zeros((TILE_M, cout), jnp.float32)
 
-        def group_acc(g, acc_g):
-            lo = lo_ref[t, g]
-            nblocks = nb_ref[t, g]
-            # w for the group's taps, flattened to [gsize*cin, cout]
-            wg = (
-                w_ref[g * gsize : (g + 1) * gsize].astype(jnp.bfloat16).reshape(
-                    gsize * cin, cout
-                )
-            )
+        for g in range(groups):  # static: per-group tap ranges must be static
+            lo = lo_ref[g, t]
+            nblocks = nb_ref[g, t]
             locals_g = nbr_tile[:, g * gsize : (g + 1) * gsize]  # [T, gsize]
+            wg = w_ref[g * gsize : (g + 1) * gsize].astype(jnp.bfloat16)
 
-            def body(bi, acc):
-                block = lo + bi
-                copy = pltpu.make_async_copy(
-                    feats_hbm.at[pl.ds(block * TILE_N, TILE_N)], scratch, sem
+            def get_dma(slot, bi, lo=lo):
+                return pltpu.make_async_copy(
+                    feats_hbm.at[pl.ds((lo + bi) * TILE_N, TILE_N)],
+                    scratch.at[slot],
+                    sem.at[slot],
                 )
-                copy.start()
-                copy.wait()
-                blk = scratch[:, :cin].astype(jnp.bfloat16)  # [TN, cin]
-                # k-major stacking: per-tap one-hots concatenated along rows
-                # (sublane concat is Mosaic-legal; interleaved reshapes are not)
-                onehot2 = jnp.concatenate(
+
+            @pl.when(nblocks > 0)
+            def _():
+                get_dma(0, 0).start()
+
+            def body(bi, acc, lo=lo, nblocks=nblocks, locals_g=locals_g, wg=wg, get_dma=get_dma):
+                slot = jax.lax.rem(bi, 2)
+
+                @pl.when(bi + 1 < nblocks)
+                def _():
+                    get_dma(jax.lax.rem(bi + 1, 2), bi + 1).start()
+
+                get_dma(slot, bi).wait()
+                blk = scratch[slot][:, :cin]  # [TN, cin] bf16
+                # fold weights per tap: ONE batched MXU op -> [gsize, TN, cout]
+                bw = jax.lax.dot_general(
+                    jnp.broadcast_to(blk[None], (gsize, TILE_N, cin)),
+                    wg,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)
+                # per-tap one-hot "gathers" batched on the tap axis
+                onehot = jnp.stack(
                     [
-                        (locals_g[:, j][:, None] - block * TILE_N == iota_n).astype(
+                        (locals_g[:, j][:, None] - (lo + bi) * TILE_N == iota_n).astype(
                             jnp.bfloat16
                         )
                         for j in range(gsize)
                     ],
                     axis=0,
-                )  # [gsize*T, TN]
-                # ONE big gather-matmul for all taps of the group (M = gsize*T)
-                gth = jnp.dot(onehot2, blk, preferred_element_type=jnp.float32)
-                gb = gth.astype(jnp.bfloat16)
-                # tap contraction: static contiguous row slices
-                for j in range(gsize):
-                    acc = acc + jnp.dot(
-                        gb[j * TILE_M : (j + 1) * TILE_M],
-                        wg[j * cin : (j + 1) * cin],
-                        preferred_element_type=jnp.float32,
-                    )
-                return acc
+                )  # [gsize, T, TN]
+                part = jax.lax.dot_general(
+                    onehot,
+                    bw,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [gsize, T, cout]
+                return acc + part.sum(axis=0)
 
-            return jax.lax.fori_loop(0, nblocks, body, acc_g)
-
-        acc = acc0
-        for g in range(groups):  # static: per-group tap ranges must be static
-            acc = group_acc(g, acc)
+            acc = jax.lax.fori_loop(0, nblocks, body, acc)
         out_ref[:] = acc
 
     return _kernel
+
+
+def band_bounds(nbr: jnp.ndarray, n: int, groups: int):
+    """Per-(tile, group) block bands over real (non-sentinel) indices.
+
+    Returns (lo [groups, tiles] first block id, nb [groups, tiles] block count)
+    — groups-major so the SMEM-prefetched scalars pad along tiles, not lanes.
+    """
+    m, k = nbr.shape
+    tiles = m // TILE_M
+    gsize = k // groups
+    big = jnp.int32(2**30)
+    masked_lo = jnp.where(nbr < n, nbr, big).reshape(tiles, TILE_M, groups, gsize)
+    masked_hi = jnp.where(nbr < n, nbr, -1).reshape(tiles, TILE_M, groups, gsize)
+    tile_min = masked_lo.min(axis=(1, 3)).T  # [groups, tiles]
+    tile_max = masked_hi.max(axis=(1, 3)).T
+    lo = jnp.where(tile_min == big, 0, tile_min // TILE_N).astype(jnp.int32)
+    nb = jnp.where(tile_max < 0, 0, tile_max // TILE_N - lo + 1).astype(jnp.int32)
+    return lo, nb
 
 
 @functools.partial(jax.jit, static_argnames=("groups", "interpret"))
@@ -113,18 +144,13 @@ def subm_conv_pallas(
     assert m % TILE_M == 0 and n % TILE_N == 0, (m, n)
     assert k % groups == 0, (k, groups)
     tiles = m // TILE_M
-    gsize = k // groups
+    cout = w.shape[2]
 
-    # per-(tile, group) bands over real (non-sentinel) indices
-    big = jnp.int32(2**30)
-    masked_lo = jnp.where(nbr < n, nbr, big).reshape(tiles, TILE_M, groups, gsize)
-    masked_hi = jnp.where(nbr < n, nbr, -1).reshape(tiles, TILE_M, groups, gsize)
-    tile_min = masked_lo.min(axis=(1, 3))  # [tiles, groups]
-    tile_max = masked_hi.max(axis=(1, 3))
-    lo = jnp.where(tile_min == big, 0, tile_min // TILE_N).astype(jnp.int32)
-    nb = jnp.where(tile_max < 0, 0, tile_max // TILE_N - lo + 1).astype(jnp.int32)
+    lo, nb = band_bounds(nbr, n, groups)
 
-    cin_orig = cin
+    # bf16 feature table in HBM: halves the (dominant) band-DMA traffic; the
+    # MXU consumes bf16 anyway and accumulation stays f32.
+    feats = feats.astype(jnp.bfloat16)
     cin_pad = -(-cin // 128) * 128  # HBM DMA slices must be 128-lane aligned
     if cin_pad != cin:
         feats = jnp.pad(feats, ((0, 0), (0, cin_pad - cin)))
@@ -138,17 +164,17 @@ def subm_conv_pallas(
             pl.BlockSpec(memory_space=pltpu.ANY),  # feats stay in HBM
         ],
         out_specs=pl.BlockSpec(
-            (TILE_M, w.shape[2]), lambda t, lo_r, nb_r: (t, 0), memory_space=pltpu.VMEM
+            (TILE_M, cout), lambda t, lo_r, nb_r: (t, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((TILE_N, cin_pad), feats.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, TILE_N, cin_pad), feats.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = _make_kernel(k, cin_orig, cin_pad, w.shape[2], groups)
+    kernel = _make_kernel(k, cin, cout, groups)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m, w.shape[2]), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m, cout), jnp.float32),
         interpret=interpret,
     )(lo, nb, nbr, w, feats)

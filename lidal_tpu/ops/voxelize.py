@@ -62,6 +62,8 @@ def unique_voxels(coords: jnp.ndarray, valid: jnp.ndarray, cap_out: int) -> Uniq
     prev_lo = jnp.concatenate([jnp.array([SENTINEL_KEY]), s_lo[:-1]])
     first = ((s_hi != prev_hi) | (s_lo != prev_lo)) & s_valid
 
+    # NOTE: plain cumsum here — the matmul-based ops.prefix variant blows up
+    # XLA compile time (~2 min) when fused into this scatter-heavy graph.
     group = jnp.cumsum(first.astype(jnp.int32)) - 1  # sorted-pos -> voxel id
     num_unique = first.sum().astype(jnp.int32)
 
