@@ -53,14 +53,29 @@ def _gather_im2col(feats: Array, nbr: Array) -> Array:
 USE_PALLAS: bool | None = None
 
 
-def _pallas_ok(feats: Array, w: Array, nbr: Array) -> bool:
+def _pallas_ok(feats: Array, nbr: Array, groups: int) -> bool:
     if USE_PALLAS is not None:
         return USE_PALLAS
     if jax.default_backend() != "tpu":
         return False
     n = feats.shape[0]
     m, k = nbr.shape
-    return n % 256 == 0 and m % 256 == 0 and k % 3 == 0
+    return n % 256 == 0 and m % 256 == 0 and k % groups == 0
+
+
+def _conv_via_pallas(feats: Array, w: Array, nbr: Array, groups: int) -> Array:
+    from lidal_tpu.ops.pallas_conv import subm_conv_pallas
+
+    return subm_conv_pallas(feats, w, nbr, groups=groups).astype(feats.dtype)
+
+
+def _up_nbr(parent: Array, pdelta: Array, k: int, cap_coarse: int) -> Array:
+    """Expand (parent, pdelta) into a per-tap column map [cap_fine, K]:
+    column d holds parent[f] where pdelta[f] == d, else the sentinel.  Columns
+    stay sorted (parent is non-decreasing), so the banded kernel applies."""
+    taps = jnp.arange(k, dtype=jnp.int32)[None, :]
+    ok = (pdelta[:, None] == taps) & (parent[:, None] < cap_coarse)
+    return jnp.where(ok, parent[:, None], cap_coarse).astype(jnp.int32)
 
 
 @jax.custom_vjp
@@ -73,10 +88,8 @@ def subm_conv(feats: Array, w: Array, nbr: Array) -> Array:
     XLA im2col path, bf16 MXU); the backward is always the gather-based XLA
     path (deterministic f32 custom VJP).
     """
-    if _pallas_ok(feats, w, nbr):
-        from lidal_tpu.ops.pallas_conv import subm_conv_pallas
-
-        return subm_conv_pallas(feats, w, nbr).astype(feats.dtype)
+    if _pallas_ok(feats, nbr, 3):
+        return _conv_via_pallas(feats, w, nbr, groups=3)
     k, cin, cout = w.shape
     g = _gather_im2col(feats, nbr)
     return g @ w.reshape(k * cin, cout)
@@ -92,7 +105,10 @@ def _subm_conv_bwd(res, dy):
     # dX[j] = sum_k dY[nbr[j, K-1-k]] @ W[k]^T
     #       = sum_k' dY[nbr[j, k']] @ W[K-1-k']^T   (k' = K-1-k)
     w_flip_t = jnp.flip(w, axis=0).swapaxes(1, 2)  # [K, cout, cin]
-    dfeats = _gather_im2col(dy, nbr) @ w_flip_t.reshape(k * cout, cin)
+    if _pallas_ok(dy, nbr, 3):
+        dfeats = _conv_via_pallas(dy, w_flip_t, nbr, groups=3)
+    else:
+        dfeats = _gather_im2col(dy, nbr) @ w_flip_t.reshape(k * cout, cin)
     # dW[k] = sum_i X[nbr[i, k]]^T dY[i]; invalid rows gather zeros on both sides.
     g = append_zero_row(feats)[nbr]  # [cap, K, cin]
     dw = jnp.einsum("ikc,io->kco", g, dy)
@@ -116,6 +132,8 @@ def down_conv(feats: Array, w: Array, child: Array, parent: Array, pdelta: Array
     parent/pdelta: [cap_fine] (used only by the backward).
     """
     k, cin, cout = w.shape
+    if _pallas_ok(feats, child, 2):
+        return _conv_via_pallas(feats, w, child, groups=2)
     g = _gather_im2col(feats, child)
     return g @ w.reshape(k * cin, cout)
 
@@ -126,10 +144,14 @@ def _down_conv_fwd(feats, w, child, parent, pdelta):
 
 def _down_conv_bwd(res, dy):
     feats, w, child, parent, pdelta = res
-    # dX[f] = dY[parent[f]] @ W[pdelta[f]]^T: 8 coarse-grid matmuls, then one gather.
-    dyx = append_zero_row(dy)  # [capc+1, cout]
-    tmp = jnp.einsum("no,dco->dnc", dyx, w)  # [8, capc+1, cin]
-    dfeats = tmp[pdelta, parent]  # [capf, cin]
+    # dX[f] = dY[parent[f]] @ W[pdelta[f]]^T: the up-conv gather structure.
+    if _pallas_ok(dy, child, 2) and parent.shape[0] % 256 == 0:
+        nbr_up = _up_nbr(parent, pdelta, w.shape[0], dy.shape[0])
+        dfeats = _conv_via_pallas(dy, w.swapaxes(1, 2), nbr_up, groups=2)
+    else:
+        dyx = append_zero_row(dy)  # [capc+1, cout]
+        tmp = jnp.einsum("no,dco->dnc", dyx, w)  # [8, capc+1, cin]
+        dfeats = tmp[pdelta, parent]  # [capf, cin]
     # dW[d] = sum_o X[child[o, d]]^T dY[o]
     g = append_zero_row(feats)[child]  # [capc, 8, cin]
     dw = jnp.einsum("okc,oi->kci", g, dy)
@@ -152,9 +174,13 @@ def up_conv(feats: Array, w: Array, child: Array, parent: Array, pdelta: Array) 
     feats: [cap_coarse, cin]; w: [8, cin, cout]; parent: [cap_fine] (sentinel
     cap_coarse); pdelta: [cap_fine]; child: [cap_coarse, 8] (used by the backward).
 
-    Implemented as 8 coarse-grid matmuls followed by one gather, so MXU work is
-    proportional to the coarse voxel count (not 8x the fine count).
+    On TPU this routes through the banded Pallas kernel with the pairing
+    expanded to a per-tap column map; off-TPU it is 8 coarse-grid matmuls
+    followed by one gather (MXU work proportional to the coarse voxel count).
     """
+    if _pallas_ok(feats, child, 2) and parent.shape[0] % 256 == 0:
+        nbr_up = _up_nbr(parent, pdelta, w.shape[0], feats.shape[0])
+        return _conv_via_pallas(feats, w, nbr_up, groups=2)
     fx = append_zero_row(feats)  # [capc+1, cin]
     tmp = jnp.einsum("nc,dco->dno", fx, w)  # [8, capc+1, cout]
     return tmp[pdelta, parent]
@@ -168,8 +194,11 @@ def _up_conv_bwd(res, dy):
     feats, w, child, parent, pdelta = res
     k, cin, cout = w.shape
     # dX[c] = sum_{f: parent[f]=c} dY[f] @ W[pdelta[f]]^T — the down-conv gather.
-    g = _gather_im2col(dy, child)  # [capc, 8*cout]
-    dfeats = g @ w.swapaxes(1, 2).reshape(k * cout, cin)
+    if _pallas_ok(dy, child, 2):
+        dfeats = _conv_via_pallas(dy, w.swapaxes(1, 2), child, groups=2)
+    else:
+        g = _gather_im2col(dy, child)  # [capc, 8*cout]
+        dfeats = g @ w.swapaxes(1, 2).reshape(k * cout, cin)
     # dW[d] = sum_{f: pdelta[f]=d} X[parent[f]]^T dY[f]
     fp = append_zero_row(feats)[parent]  # [capf, cin]; sentinel rows -> zeros
     onehot = jax.nn.one_hot(pdelta, k, dtype=dy.dtype) * (parent < feats.shape[0])[:, None]

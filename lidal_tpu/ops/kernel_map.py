@@ -86,31 +86,20 @@ def build_subm_nbr(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
 
     cap = coords.shape[0]
     key_hi, key_lo = pack_keys(coords, valid)
-    # Only the 13 negative-half offsets need lookups: offset maps are partial
-    # bijections, and the mirrored map is the INVERSE relation — nbr[i, k] = j
-    # implies nbr[j, 26-k] = i — recovered by one disjoint scatter per column.
+    # All 26 non-center offsets as direct merge streams.  (Round 1 looked up 13
+    # and scatter-inverted the mirrors; with the scatter-free merge kernel the
+    # 13 extra streams are cheaper than 13 [cap]-sized scatters.)
     offs = [o for o in OFFSETS3 if o != (0, 0, 0)]
-    half = offs[:CENTER3]  # first 13; offs[25 - k] == -offs[k]
-    d_hi = jnp.asarray([(dx << 14) + dy for dx, dy, _ in half], jnp.int32)  # [13]
-    d_lo = jnp.asarray([dz for _, _, dz in half], jnp.int32)
+    d_hi = jnp.asarray([(dx << 14) + dy for dx, dy, _ in offs], jnp.int32)  # [26]
+    d_lo = jnp.asarray([dz for _, _, dz in offs], jnp.int32)
     q_hi = jnp.where(valid[None, :], key_hi[None, :] + d_hi[:, None], SENTINEL_KEY)
     q_lo = jnp.where(valid[None, :], key_lo[None, :] + d_lo[:, None], SENTINEL_KEY)
-    # one fused 13-stream merge (NOT vmap of single lookups: vmapping would turn
-    # the contiguous slice-window loads into generic slow-path gathers)
-    nbr13 = lookup_sorted_many(key_hi, key_lo, q_hi, q_lo, unique_queries=True)  # [13, cap]
+    # one fused 26-stream merge (NOT vmap of single lookups: vmapping would turn
+    # the batched merge into generic slow-path gathers)
+    nbr26 = lookup_sorted_many(key_hi, key_lo, q_hi, q_lo, unique_queries=True)  # [26, cap]
     own = jnp.arange(cap, dtype=jnp.int32)
-    mirrors = []
-    for k in range(CENTER3):
-        col = nbr13[k]
-        hit = col < cap
-        inv = jnp.full((cap + 1,), cap, jnp.int32).at[jnp.where(hit, col, cap)].set(
-            jnp.where(hit, own, cap), mode="drop"
-        )[:cap]
-        mirrors.append(inv)
-    # mirror of half[k] sits at column 25 - k of the 26-array -> reversed order
-    nbr_mirror = jnp.stack(mirrors[::-1])  # columns 13..25
     center = jnp.where(valid, own, cap)
-    nbr = jnp.concatenate([nbr13, center[None, :], nbr_mirror], axis=0)
+    nbr = jnp.concatenate([nbr26[:CENTER3], center[None, :], nbr26[CENTER3:]], axis=0)
     return nbr.T  # [cap, 27]
 
 

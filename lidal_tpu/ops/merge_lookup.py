@@ -62,6 +62,16 @@ def _cmpx(eh: jnp.ndarray, el: jnp.ndarray, axis: int, bit: int):
     return jnp.where(take, ph, eh), jnp.where(take, pl_, el)
 
 
+# tri-state override for the Pallas merge kernel: None = auto (TPU + big enough)
+USE_PALLAS: bool | None = None
+
+
+def _pallas_ok(lp: int) -> bool:
+    if USE_PALLAS is not None:
+        return USE_PALLAS
+    return jax.default_backend() == "tpu" and lp >= 1024
+
+
 def _merge_rank(t_hi, t_lo, q_hi, q_lo, with_found: bool):
     """Lower-bound positions [G, m] of G sorted query streams in one sorted
     table; when ``with_found`` additionally folds the hit check (valid only for
@@ -97,6 +107,19 @@ def _merge_rank(t_hi, t_lo, q_hi, q_lo, with_found: bool):
         ],
         axis=1,
     )
+
+    if _pallas_ok(lp):
+        # one kernel per stream: merge stages + prefix + rank + dense
+        # compaction all in VMEM — no scatter (an XLA scatter here cost ~16 ms,
+        # 13x the whole kernel).  Also keeps the stage chain out of XLA's
+        # fusion passes, whose compile time explodes when this graph embeds in
+        # larger programs (e.g. the scanned multi-level plan builder).
+        from lidal_tpu.ops.pallas_merge import merge_rank_pallas
+
+        r = lp // 128
+        return merge_rank_pallas(
+            eh.reshape(g, r, 128), el.reshape(g, r, 128), n=n, m=m, with_found=with_found
+        )
 
     # --- bitonic merge, layout-aware (rolls stay on the sublane axis) ---
     r = lp // 128

@@ -46,11 +46,30 @@ TILE_N = 256  # feature-table rows per DMA block
 def _make_kernel(k: int, cin: int, cout: int, groups: int):
     gsize = k // groups
 
-    def _kernel(lo_ref, nb_ref, nbr_ref, w_ref, feats_hbm, out_ref, scratch, sem):
+    def _kernel(lo_ref, nb_ref, nbr_ref, w_ref, feats_hbm, out_ref, heads, tails, hsem, tsem):
         t = pl.program_id(0)
+        nt = pl.num_programs(0)
         nbr_tile = nbr_ref[:]  # [T, K] int32
         iota_n = jax.lax.broadcasted_iota(jnp.int32, (TILE_M, TILE_N), 1)
         acc = jnp.zeros((TILE_M, cout), jnp.float32)
+
+        def head_dma(g, tt):
+            # block 0 of (tile tt, group g) into the tile-parity head slot
+            return pltpu.make_async_copy(
+                feats_hbm.at[pl.ds(lo_ref[g, tt] * TILE_N, TILE_N)],
+                heads.at[g, jax.lax.rem(tt, 2)],
+                hsem.at[g, jax.lax.rem(tt, 2)],
+            )
+
+        # cold start: this tile's heads (all groups) — every later tile's heads
+        # were prefetched by its predecessor, so only tile 0 pays the latency
+        @pl.when(t == 0)
+        def _():
+            for g0 in range(groups):
+
+                @pl.when(nb_ref[g0, 0] > 0)
+                def _(g0=g0):
+                    head_dma(g0, 0).start()
 
         for g in range(groups):  # static: per-group tap ranges must be static
             lo = lo_ref[g, t]
@@ -58,26 +77,44 @@ def _make_kernel(k: int, cin: int, cout: int, groups: int):
             locals_g = nbr_tile[:, g * gsize : (g + 1) * gsize]  # [T, gsize]
             wg = w_ref[g * gsize : (g + 1) * gsize].astype(jnp.bfloat16)
 
-            def get_dma(slot, bi, lo=lo):
+            # prefetch the NEXT tile's head for this group: it has the whole
+            # remainder of this tile to land (the per-(tile, group) block-0
+            # stall was the kernel's dominant cost at ~2.5 blocks per band)
+            tnext = jnp.minimum(t + 1, nt - 1)
+
+            @pl.when((t + 1 < nt) & (nb_ref[g, tnext] > 0))
+            def _(g=g, tnext=tnext):
+                head_dma(g, tnext).start()
+
+            def tail_dma(bi, lo=lo):
+                # blocks >= 1 ride a 2-slot ring: block bi -> slot (bi-1) & 1
+                slot = (bi - 1) & 1
                 return pltpu.make_async_copy(
                     feats_hbm.at[pl.ds((lo + bi) * TILE_N, TILE_N)],
-                    scratch.at[slot],
-                    sem.at[slot],
+                    tails.at[slot],
+                    tsem.at[slot],
                 )
 
-            @pl.when(nblocks > 0)
-            def _():
-                get_dma(0, 0).start()
+            @pl.when(nblocks > 1)
+            def _(tail_dma=tail_dma):
+                tail_dma(1).start()
 
-            def body(bi, acc, lo=lo, nblocks=nblocks, locals_g=locals_g, wg=wg, get_dma=get_dma):
-                slot = jax.lax.rem(bi, 2)
-
-                @pl.when(bi + 1 < nblocks)
+            def body(bi, acc, g=g, lo=lo, nblocks=nblocks, locals_g=locals_g, wg=wg, tail_dma=tail_dma):
+                @pl.when((bi >= 1) & (bi + 1 < nblocks))
                 def _():
-                    get_dma(jax.lax.rem(bi + 1, 2), bi + 1).start()
+                    tail_dma(bi + 1).start()
 
-                get_dma(slot, bi).wait()
-                blk = scratch[slot][:, :cin]  # [TN, cin] bf16
+                @pl.when(bi == 0)
+                def _():
+                    head_dma(g, t).wait()
+
+                @pl.when(bi > 0)
+                def _():
+                    tail_dma(bi).wait()
+
+                hblk = heads[g, jax.lax.rem(t, 2)][:, :cin]
+                tblk = tails[(bi - 1) & 1][:, :cin]  # & keeps bi=0 in range (unselected)
+                blk = jnp.where(bi == 0, hblk, tblk)  # [TN, cin] bf16
                 # fold weights per tap: ONE batched MXU op -> [gsize, TN, cout]
                 bw = jax.lax.dot_general(
                     jnp.broadcast_to(blk[None], (gsize, TILE_N, cin)),
@@ -167,7 +204,9 @@ def subm_conv_pallas(
             (TILE_M, cout), lambda t, lo_r, nb_r: (t, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, TILE_N, cin_pad), feats.dtype),
+            pltpu.VMEM((groups, 2, TILE_N, cin_pad), feats.dtype),  # head blocks
+            pltpu.VMEM((2, TILE_N, cin_pad), feats.dtype),  # tail ring
+            pltpu.SemaphoreType.DMA((groups, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
