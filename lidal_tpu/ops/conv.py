@@ -207,3 +207,60 @@ def _up_conv_bwd(res, dy):
 
 
 up_conv.defvjp(_up_conv_fwd, _up_conv_bwd)
+
+
+# --------------------------------------------------------------------------------------
+# Batched wrappers: flatten the frame axis into ONE op call.  A Pallas kernel
+# launch costs ~0.6 ms on the tunneled backend; per-frame mapping multiplied
+# that by B for every conv.  Frame tables concatenate with index offsets; each
+# frame's sentinel (== its cap) maps to the global sentinel (B * cap), which
+# band masking treats identically.  Tiles never straddle frames (caps are
+# multiples of the tile size), so band locality is preserved.
+# --------------------------------------------------------------------------------------
+
+
+def _flatten_nbr(nbr: Array, cap_src: int) -> Array:
+    b, m, k = nbr.shape
+    off = (jnp.arange(b, dtype=jnp.int32) * cap_src)[:, None, None]
+    return jnp.where(nbr < cap_src, nbr + off, b * cap_src).reshape(b * m, k)
+
+
+def _flatten_idx(idx: Array, cap_src: int) -> Array:
+    b, m = idx.shape
+    off = (jnp.arange(b, dtype=jnp.int32) * cap_src)[:, None]
+    return jnp.where(idx < cap_src, idx + off, b * cap_src).reshape(b * m)
+
+
+def subm_conv_batched(x: Array, w: Array, nbr: Array) -> Array:
+    """x [B, cap, cin], nbr [B, cap, K] -> [B, cap, cout]."""
+    b, n, c = x.shape
+    out = subm_conv(x.reshape(b * n, c), w, _flatten_nbr(nbr, n))
+    return out.reshape(b, n, -1)
+
+
+def down_conv_batched(x: Array, w: Array, child: Array, parent: Array, pdelta: Array) -> Array:
+    """x [B, capf, cin], child [B, capc, 8], parent/pdelta [B, capf]."""
+    b, nf, c = x.shape
+    nc = child.shape[1]
+    out = down_conv(
+        x.reshape(b * nf, c),
+        w,
+        _flatten_nbr(child, nf),
+        _flatten_idx(parent, nc),
+        pdelta.reshape(b * nf),
+    )
+    return out.reshape(b, nc, -1)
+
+
+def up_conv_batched(x: Array, w: Array, child: Array, parent: Array, pdelta: Array) -> Array:
+    """x [B, capc, cin], child [B, capc, 8], parent/pdelta [B, capf]."""
+    b, nc, c = x.shape
+    nf = parent.shape[1]
+    out = up_conv(
+        x.reshape(b * nc, c),
+        w,
+        _flatten_nbr(child, nf),
+        _flatten_idx(parent, nc),
+        pdelta.reshape(b * nf),
+    )
+    return out.reshape(b, nf, -1)

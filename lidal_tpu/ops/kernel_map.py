@@ -25,6 +25,8 @@ hot path, fully deterministic (required for bitwise-reproducible selection).
 from __future__ import annotations
 
 import itertools
+
+import jax
 from typing import NamedTuple, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -120,6 +122,33 @@ def build_down(coords_fine: jnp.ndarray, valid_fine: jnp.ndarray, cap_coarse: in
     return uvc, down
 
 
+def build_subm_nbr_batched(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Batched :func:`build_subm_nbr`: coords [B, cap, 3] -> nbr [B, cap, 27].
+
+    All B x 26 offset streams fuse into ONE merge call (one Pallas launch — a
+    launch costs ~0.6 ms on the tunneled backend, so per-frame mapping of the
+    rulebook build was paying B x levels x 0.6 ms per batch)."""
+    from lidal_tpu.ops.hashing import SENTINEL_KEY
+    from lidal_tpu.ops.merge_lookup import lookup_sorted_grouped
+
+    b, cap, _ = coords.shape
+    key_hi, key_lo = pack_keys(coords, valid)  # [B, cap]
+    offs = [o for o in OFFSETS3 if o != (0, 0, 0)]
+    d_hi = jnp.asarray([(dx << 14) + dy for dx, dy, _ in offs], jnp.int32)  # [26]
+    d_lo = jnp.asarray([dz for _, _, dz in offs], jnp.int32)
+    q_hi = jnp.where(valid[:, None, :], key_hi[:, None, :] + d_hi[None, :, None], SENTINEL_KEY)
+    q_lo = jnp.where(valid[:, None, :], key_lo[:, None, :] + d_lo[None, :, None], SENTINEL_KEY)
+    t_hi = jnp.broadcast_to(key_hi[:, None, :], (b, len(offs), cap)).reshape(-1, cap)
+    t_lo = jnp.broadcast_to(key_lo[:, None, :], (b, len(offs), cap)).reshape(-1, cap)
+    nbr26 = lookup_sorted_grouped(
+        t_hi, t_lo, q_hi.reshape(-1, cap), q_lo.reshape(-1, cap), unique_queries=True
+    ).reshape(b, len(offs), cap)
+    own = jnp.arange(cap, dtype=jnp.int32)
+    center = jnp.where(valid, own[None, :], cap)
+    nbr = jnp.concatenate([nbr26[:, :CENTER3], center[:, None, :], nbr26[:, CENTER3:]], axis=1)
+    return nbr.transpose(0, 2, 1)  # [B, cap, 27]
+
+
 def build_unet_plan_frame(
     coords0: jnp.ndarray, valid0: jnp.ndarray, caps: Sequence[int]
 ) -> UNetPlan:
@@ -129,33 +158,36 @@ def build_unet_plan_frame(
     (the output of :func:`unique_voxels`); ``caps[0]`` must equal its capacity.
     """
     assert coords0.shape[0] == caps[0], (coords0.shape, caps)
-    levels = []
-    downs = []
-    cur_coords, cur_valid = coords0, valid0
-    for l, cap in enumerate(caps):
-        nbr3 = build_subm_nbr(cur_coords, cur_valid)
-        levels.append(
-            LevelPlan(
-                coords=cur_coords,
-                valid=cur_valid,
-                nbr3=nbr3,
-                num_valid=cur_valid.sum().astype(jnp.int32),
-            )
-        )
-        if l + 1 < len(caps):
-            uvc, down = build_down(cur_coords, cur_valid, caps[l + 1])
-            downs.append(down)
-            cur_coords, cur_valid = uvc.coords, uvc.valid
-    return UNetPlan(levels=tuple(levels), downs=tuple(downs))
+    plan = build_unet_plan(coords0[None], valid0[None], caps)
+    return jax.tree_util.tree_map(lambda x: x[0], plan)
 
 
 def build_unet_plan(coords0: jnp.ndarray, valid0: jnp.ndarray, caps: Sequence[int]) -> UNetPlan:
-    """Batched plan builder: static per-frame unroll of
-    :func:`build_unet_plan_frame` (see ops/batching.py for why not vmap).
+    """Batched plan builder: the rulebook build fuses all frames x offsets into
+    one merge per level; the coarsening (sort-based dedup) maps per frame.
 
     Args:
       coords0: [B, cap0, 3]; valid0: [B, cap0].
     """
     from lidal_tpu.ops.batching import map_frames
 
-    return map_frames(lambda c, v: build_unet_plan_frame(c, v, caps), coords0, valid0)
+    levels = []
+    downs = []
+    cur_coords, cur_valid = coords0, valid0
+    for l, cap in enumerate(caps):
+        nbr3 = build_subm_nbr_batched(cur_coords, cur_valid)
+        levels.append(
+            LevelPlan(
+                coords=cur_coords,
+                valid=cur_valid,
+                nbr3=nbr3,
+                num_valid=cur_valid.sum(axis=1).astype(jnp.int32),
+            )
+        )
+        if l + 1 < len(caps):
+            uvc, down = map_frames(
+                lambda c, v, cc=caps[l + 1]: build_down(c, v, cc), cur_coords, cur_valid
+            )
+            downs.append(down)
+            cur_coords, cur_valid = uvc.coords, uvc.valid
+    return UNetPlan(levels=tuple(levels), downs=tuple(downs))

@@ -73,10 +73,14 @@ def _pallas_ok(lp: int) -> bool:
 
 
 def _merge_rank(t_hi, t_lo, q_hi, q_lo, with_found: bool):
-    """Lower-bound positions [G, m] of G sorted query streams in one sorted
-    table; when ``with_found`` additionally folds the hit check (valid only for
-    strictly-increasing real query keys) and returns ``n`` for misses."""
-    n = t_hi.shape[0]
+    """Lower-bound positions [G, m] of G sorted query streams; when
+    ``with_found`` additionally folds the hit check (valid only for
+    strictly-increasing real query keys) and returns ``n`` for misses.
+
+    Tables may be shared ([n] — broadcast over streams) or per-stream
+    ([G, n] — e.g. the same kernel offsets over B frames, or one query set
+    against many neighbor grids)."""
+    n = t_hi.shape[-1]
     g, m = q_hi.shape
     length = n + m
     lp = max(256, 1 << (length - 1).bit_length())
@@ -91,20 +95,14 @@ def _merge_rank(t_hi, t_lo, q_hi, q_lo, with_found: bool):
     q_sent = q_hi == SENTINEL_KEY
     ql2 = jnp.where(q_sent, SENTINEL_KEY - 1, q_lo << 1)
 
+    th2 = t_hi if t_hi.ndim == 2 else jnp.broadcast_to(t_hi[None, :], (g, n))
+    tl2 = tl2 if tl2.ndim == 2 else jnp.broadcast_to(tl2[None, :], (g, n))
     eh = jnp.concatenate(
-        [
-            jnp.broadcast_to(t_hi[None, :], (g, n)),
-            jnp.full((g, pad), SENTINEL_KEY, jnp.int32),
-            q_hi[:, ::-1],
-        ],
+        [th2, jnp.full((g, pad), SENTINEL_KEY, jnp.int32), q_hi[:, ::-1]],
         axis=1,
     )
     el = jnp.concatenate(
-        [
-            jnp.broadcast_to(tl2[None, :], (g, n)),
-            jnp.full((g, pad), SENTINEL_KEY - 1, jnp.int32),
-            ql2[:, ::-1],
-        ],
+        [tl2, jnp.full((g, pad), SENTINEL_KEY - 1, jnp.int32), ql2[:, ::-1]],
         axis=1,
     )
 
@@ -234,3 +232,32 @@ def lookup_sorted_many(
     hit_lo = take_values(t_lo, pos.reshape(-1), sorted_unique=False).reshape(g, m)
     found = (hit_hi == q_hi) & (hit_lo == q_lo) & (q_hi != SENTINEL_KEY)
     return jnp.where(found, out, n).astype(jnp.int32)
+
+
+def lookup_sorted_grouped(t_hi, t_lo, q_hi, q_lo, unique_queries: bool = True):
+    """S independent (table, query-stream) pairs in ONE fused merge — one
+    Pallas launch for e.g. all B frames x 26 kernel offsets of a batch, or one
+    query set against 24 neighbor grids.
+
+    Args:
+      t_hi/t_lo: [S, n] per-stream sorted tables (sentinel tails).
+      q_hi/q_lo: [S, m] sorted query streams.
+      unique_queries: as in :func:`lookup_sorted_many` (in-merge hit check).
+
+    Returns: int32 [S, m] per-stream table indices (n where absent).
+    """
+    if unique_queries:
+        return _merge_rank(t_hi, t_lo, q_hi, q_lo, with_found=True)
+    s, n = t_hi.shape
+    m = q_hi.shape[1]
+    out = _merge_rank(t_hi, t_lo, q_hi, q_lo, with_found=False)
+    pos = jnp.minimum(out, n - 1) + (jnp.arange(s, dtype=jnp.int32) * n)[:, None]
+    hit_hi = take_values(t_hi.reshape(-1), pos.reshape(-1), sorted_unique=False).reshape(s, m)
+    hit_lo = take_values(t_lo.reshape(-1), pos.reshape(-1), sorted_unique=False).reshape(s, m)
+    found = (hit_hi == q_hi) & (hit_lo == q_lo) & (q_hi != SENTINEL_KEY)
+    return jnp.where(found, out, n).astype(jnp.int32)
+
+
+def lower_bound_sorted_grouped(t_hi, t_lo, q_hi, q_lo):
+    """Per-stream lower bounds for S (table, queries) pairs — [S, m]."""
+    return _merge_rank(t_hi, t_lo, q_hi, q_lo, with_found=False)

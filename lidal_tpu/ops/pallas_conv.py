@@ -123,6 +123,7 @@ def _make_kernel(k: int, cin: int, cout: int, groups: int):
                     preferred_element_type=jnp.float32,
                 ).astype(jnp.bfloat16)
                 # per-tap one-hot "gathers" batched on the tap axis
+                # (int32 compares: Mosaic does not lower packed bf16 cmpf)
                 onehot = jnp.stack(
                     [
                         (locals_g[:, j][:, None] - (lo + bi) * TILE_N == iota_n).astype(
