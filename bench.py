@@ -104,13 +104,43 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     pts_per_sec = B * n_pts * iters / dt
+
+    # ---- second headline metric: LiDAL inter-frame scoring (frames/s) ----
+    # One frame vs 24 pose-registered neighbors, production pattern: neighbor
+    # grids + prob maps device-resident (the runner's sliding-window LRU).
+    from lidal_tpu.active import lidal
+
+    NEI, C = 24, 19
+    q_xyz = np.zeros((P, 3), np.float32)
+    q_xyz[:n_pts] = synthetic_sk_frame(rng, n_pts)[0]
+    q_prob = np.zeros((P, C), np.float32)
+    q_prob[:n_pts] = rng.dirichlet(np.ones(C), n_pts).astype(np.float32)
+    nei_probs, nei_grids = [], []
+    for i in range(NEI):
+        nxyz, _ = synthetic_sk_frame(rng, n_pts)
+        nxyz = nxyz + np.array([0.8 * (i - NEI // 2), 0.0, 0.0], np.float32)
+        nprob = np.zeros((P, C), np.float32)
+        nprob[:n_pts] = rng.dirichlet(np.ones(C), n_pts).astype(np.float32)
+        nei_probs.append(jnp.asarray(nprob))
+        nei_grids.append(lidal.make_neighbor_grid(nxyz, cap=P))
+    lidal.score_frame(q_prob, q_xyz, nei_probs, nei_grids)  # compile + drain
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        interd, _ = lidal.score_frame(q_prob, q_xyz, nei_probs, nei_grids)
+        assert np.isfinite(interd[:n_pts]).all()
+        best = min(best or 1e9, time.perf_counter() - t0)
+    frames_per_sec = 1.0 / best
+
     print(
         json.dumps(
             {
-                "metric": "points/sec MinkUNet inference (SemanticKITTI)",
+                "metric": "points/sec MinkUNet inference (SemanticKITTI); LiDAL scoring frames/sec",
                 "value": round(pts_per_sec, 1),
                 "unit": "points/s",
                 "vs_baseline": round(pts_per_sec / REFERENCE_POINTS_PER_SEC, 3),
+                "lidal_scoring_frames_per_sec": round(frames_per_sec, 3),
+                "lidal_scoring_s_per_frame": round(best, 3),
             }
         )
     )

@@ -71,8 +71,9 @@ def _accumulate_neighbor(
     sum_prob: jnp.ndarray,
     interd: jnp.ndarray,
     map_count: jnp.ndarray,
+    run_overflow: jnp.ndarray,
 ):
-    dist, nn_src, found = nn_query_prepared(grid, pq)
+    dist, nn_src, found, ovf = nn_query_prepared(grid, pq)
     match = found & (dist <= DIS_THRESH)
     npb = n_prob[nn_src]  # [p, c]
     qe = q_prob + EPSILON
@@ -83,7 +84,7 @@ def _accumulate_neighbor(
     sum_prob = sum_prob + npb * mf
     interd = interd + jnp.where(match, kl, 0.0)
     map_count = map_count + match.astype(map_count.dtype)
-    return sum_prob, interd, map_count
+    return sum_prob, interd, map_count, run_overflow + ovf
 
 
 @jax.jit
@@ -105,15 +106,17 @@ def _score_frame_device(q_prob, q_xyz, q_valid, nei_probs, grids):
     sum_prob0 = q_prob  # LiDAL.py:63: starts as the query prob copy
     interd0 = jnp.zeros(q_prob.shape[:1], jnp.float32)
     map_count0 = jnp.ones(q_prob.shape[:1], jnp.float32)  # LiDAL.py:61
+    ovf0 = jnp.zeros((), jnp.int32)
 
     def body(carry, nei):
         n_prob, grid = nei
         return _accumulate_neighbor(q_prob, pq, n_prob, grid, *carry), None
 
-    (sum_prob, interd, map_count), _ = jax.lax.scan(
-        body, (sum_prob0, interd0, map_count0), (nei_probs, grids)
+    (sum_prob, interd, map_count, ovf), _ = jax.lax.scan(
+        body, (sum_prob0, interd0, map_count0, ovf0), (nei_probs, grids)
     )
-    return _finalize(sum_prob, interd, map_count)
+    interd, intere = _finalize(sum_prob, interd, map_count)
+    return interd, intere, ovf
 
 
 def stack_grids(grids: Sequence[HashGrid]) -> HashGrid:
@@ -129,13 +132,20 @@ def score_frame(
     nei_probs: Sequence[np.ndarray],
     nei_grids: Sequence[HashGrid],
 ):
-    """Per-point inter-frame divergence + entropy against all neighbor frames."""
+    """Per-point inter-frame divergence + entropy against all neighbor frames.
+
+    ``nei_probs`` entries may be device arrays (the runner keeps a device-side
+    LRU — consecutive frames share 22/24 neighbors, and re-uploading the ~10 MB
+    probability map per neighbor per frame dominates scoring wall-clock
+    otherwise)."""
     q_prob_j = jnp.asarray(q_prob, jnp.float32)
     q_xyz_j = jnp.asarray(q_xyz, jnp.float32)
     q_valid = jnp.ones(q_prob.shape[:1], bool)
     nei = jnp.stack([jnp.asarray(p, jnp.float32) for p in nei_probs])
     grids = stack_grids(list(nei_grids))
-    interd, intere = _score_frame_device(q_prob_j, q_xyz_j, q_valid, nei, grids)
+    interd, intere, ovf = _score_frame_device(q_prob_j, q_xyz_j, q_valid, nei, grids)
+    if int(ovf):
+        print(f"WARNING: NN candidate-run overflow dropped {int(ovf)} candidates")
     return np.asarray(interd), np.asarray(intere)
 
 

@@ -120,27 +120,58 @@ def nn_query(
     """For each query point: nearest grid point within the 27-cell neighborhood.
 
     Returns (dist [p] f32 — inf when none found, nn_src [p] i32 original neighbor
-    index — 0 when none, found [p] bool).  Each probe's candidate run is capped
-    at ``3 * cand_per_cell`` points (3 z-cells; LiDAR at 0.1 m cells holds ~1-4
-    points per cell — overflowing runs lose farthest-in-run candidates).
+    index — 0 when none, found [p] bool, run_overflow [] i32).  Each probe's
+    candidate run is capped at ``3 * cand_per_cell`` points (3 z-cells; LiDAR at
+    0.1 m cells holds ~1-4 points per cell — overflowing runs lose
+    farthest-in-run candidates, counted by ``run_overflow``).
     """
     return nn_query_prepared(grid, prepare_queries(q_xyz, q_valid, cell), cand_per_cell)
 
 
+def _use_scan_kernel(p: int, cap: int) -> bool:
+    import jax
+
+    return jax.default_backend() == "tpu" and p % 256 == 0 and cap % 256 == 0
+
+
 def nn_query_prepared(grid: HashGrid, pq: PreparedQueries, cand_per_cell: int = 6):
+    """Returns (dist [p], nn_src [p], found [p], run_overflow []) — the last is
+    the number of candidate rows dropped because a probe's z-run exceeded the
+    ``3 * cand_per_cell`` scan cap (monitored by the LiDAL runner; the
+    reference's KD-tree has no such cap)."""
     p = pq.s_xyz.shape[0]
     cap = grid.key_hi.shape[0]
     run = 3 * cand_per_cell
     s_xyz, s_qidx, s_ok, ph, pl_lo = pq
 
     # The z-run [cz-1, cz+1] is one contiguous key range
-    # [lower_bound(lo-1), lower_bound(lo+2 exclusive)) — locate BOTH ends with
-    # fused merges, so the candidate scan needs no key gathers at all.
-    starts = lower_bound_sorted_many(grid.key_hi, grid.key_lo, ph, pl_lo)  # [9, p]
-    # end = first index with key > (hi, lo+1): lower bound of (hi, (lo-1)+3)
-    ends = lower_bound_sorted_many(
-        grid.key_hi, grid.key_lo, ph, jnp.where(ph != SENTINEL_KEY, pl_lo + 3, SENTINEL_KEY)
+    # [lower_bound(lo-1), lower_bound(lo+2 exclusive)) — BOTH ends as 18
+    # streams of ONE fused merge, so the candidate scan needs no key gathers.
+    qh2 = jnp.concatenate([ph, ph], axis=0)
+    ql2 = jnp.concatenate(
+        [pl_lo, jnp.where(ph != SENTINEL_KEY, pl_lo + 3, SENTINEL_KEY)], axis=0
     )
+    bounds = lower_bound_sorted_many(grid.key_hi, grid.key_lo, qh2, ql2)
+    starts, ends = bounds[:9], bounds[9:]
+    real = ph != SENTINEL_KEY
+    run_overflow = jnp.where(real, jnp.maximum(ends - starts - run, 0), 0).sum()
+
+    if _use_scan_kernel(p, cap):
+        from lidal_tpu.ops.pallas_nnscan import nn_scan_pallas
+
+        en = jnp.minimum(ends, starts + run)
+        en = jnp.where(ph != SENTINEL_KEY, en, starts)  # sentinel probes: empty
+        gx = jnp.pad(grid.xyz, ((0, 0), (0, 1)))
+        qx = jnp.pad(s_xyz, ((0, 0), (0, 1)))
+        best_d2, best_i = nn_scan_pallas(gx, qx, starts, en, run=run)
+        best_i = jnp.minimum(best_i, cap - 1)
+        dist_s = jnp.sqrt(best_d2)
+        found_s = jnp.isfinite(best_d2) & s_ok
+        src_s = jnp.where(found_s, take_values(grid.src_idx, best_i, sorted_unique=False), 0)
+        dist = jnp.zeros((p,), jnp.float32).at[s_qidx].set(dist_s)
+        nn_src = jnp.zeros((p,), jnp.int32).at[s_qidx].set(src_s)
+        found = jnp.zeros((p,), bool).at[s_qidx].set(found_s)
+        return dist, nn_src, found, run_overflow
 
     xyz_ext = jnp.concatenate([grid.xyz, jnp.zeros((1, 3), grid.xyz.dtype)])
     best_d2 = jnp.full((p,), jnp.inf, jnp.float32)
@@ -164,4 +195,4 @@ def nn_query_prepared(grid: HashGrid, pq: PreparedQueries, cand_per_cell: int = 
     dist = jnp.zeros((p,), jnp.float32).at[s_qidx].set(dist_s)
     nn_src = jnp.zeros((p,), jnp.int32).at[s_qidx].set(src_s)
     found = jnp.zeros((p,), bool).at[s_qidx].set(found_s)
-    return dist, nn_src, found
+    return dist, nn_src, found, run_overflow

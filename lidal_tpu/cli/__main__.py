@@ -8,7 +8,9 @@ Mirrors the reference's per-script CLIs (``train.py:208-219``,
   evaluate        val-split mIoU for a trained round
   prob-inference  multi-view probability dump over the train split
   score           active selection for --metric_name (frame- or sv-level)
-  prep            offline preprocessing: grids / supervoxels / boundary / bootstrap
+  prep            offline preprocessing: grids / supervoxels / vccs / boundary / bootstrap
+  import-torch    convert a reference current.pt into this framework's checkpoint
+  run-experiment  orchestrate full active-learning rounds
 """
 
 from __future__ import annotations
@@ -70,7 +72,11 @@ def main(argv=None) -> int:
     p = sub.add_parser("prep")
     _add_run_args(p)
     p.add_argument("--stage", type=str, required=True,
-                   help="grids | supervoxels | boundary | bootstrap")
+                   help="grids | supervoxels | vccs | boundary | bootstrap")
+    p = sub.add_parser("import-torch")
+    _add_run_args(p)
+    p.add_argument("--pt_path", type=str, required=True,
+                   help="path to a reference current.pt (README.md:88-92 release)")
     p = sub.add_parser("run-experiment")
     _add_run_args(p)
     p.add_argument("--rounds", type=int, default=5)
@@ -103,6 +109,10 @@ def main(argv=None) -> int:
         from lidal_tpu.cli.commands import prep_command
 
         prep_command(cfg, args.stage)
+    elif args.command == "import-torch":
+        from lidal_tpu.cli.commands import import_torch_command
+
+        import_torch_command(cfg, args.pt_path)
     elif args.command == "run-experiment":
         from lidal_tpu.runtime.round import run_experiment
 

@@ -83,17 +83,22 @@ def evaluate_command(cfg: RunConfig) -> float:
         files,
         lambda p: read_fn(p, with_labels=True),
         point_cap=data.point_cap,
-        batch_size=2 * data.batch_size,  # reference sk_dataloader.py:44-46
+        # reference sk_dataloader.py:44-46 (2x train batch), per device
+        batch_size=2 * data.batch_size * jax.device_count(),
     )
-    eval_step = jax.jit(eval_step)
     return run_eval(cfg, eval_step, variables, loader)
 
 
 def prob_inference_command(cfg: RunConfig) -> None:
+    from lidal_tpu.parallel.mesh import process_shard
     from lidal_tpu.runtime.prob_inference import run_prob_inference
 
     model, variables, eval_step = _load_eval_variables(cfg)
     files, read_fn, frame_id_fn = _dataset_frames(cfg, "train")
+    # contiguous per-host shard of the frame list (reference
+    # sk_dataloader.py:196-198 sharded the score loader across ranks)
+    lo, hi, step = process_shard(len(files))
+    files = files[lo:hi:step]
     print("Score samples:", len(files))
     run_prob_inference(
         cfg,
@@ -167,3 +172,28 @@ def prep_command(cfg: RunConfig, stage: str) -> None:
         bootstrap_round0(cfg, seq_frames)
     else:
         raise ValueError(f"unknown prep stage: {stage}")
+
+
+def import_torch_command(cfg: RunConfig, pt_path: str) -> None:
+    """Convert a reference ``current.pt`` (released round-0 anchors,
+    reference README.md:88-92) into this framework's checkpoint tree."""
+    import jax.numpy as jnp
+
+    from lidal_tpu.runtime import checkpoint as ckpt
+    from lidal_tpu.runtime.import_torch import load_torch_checkpoint
+    from lidal_tpu.runtime.paths import ensure_dir
+    from lidal_tpu.runtime.train import TrainState, make_optimizer
+
+    assert not cfg.is_spvcnn, "torch import currently supports MinkUNet checkpoints"
+    variables, iteration, ep_id = load_torch_checkpoint(pt_path)
+    tx = make_optimizer()
+    params = jax.tree_util.tree_map(jnp.asarray, variables["params"])
+    state = TrainState(
+        step=jnp.asarray(iteration, jnp.int32),
+        params=params,
+        batch_stats=jax.tree_util.tree_map(jnp.asarray, variables["batch_stats"]),
+        opt_state=tx.init(params),
+    )
+    paths = Paths(cfg)
+    ckpt.save_checkpoint(ensure_dir(paths.ckpt_dir()), ckpt.device_get_state(state), ep_id)
+    print(f"Imported {pt_path} (iteration {iteration}) -> {paths.ckpt_dir()}/current")

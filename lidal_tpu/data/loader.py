@@ -86,7 +86,8 @@ class FrameBatchLoader:
     def _load_one(self, f):
         xyz, sig, labels = self.read_fn(f)
         oxyz, osig, ovalid, olab = pad_points(xyz, sig, labels, self.point_cap)
-        return f, oxyz, osig, ovalid, olab
+        trunc = max(0, len(xyz) - self.point_cap)
+        return f, oxyz, osig, ovalid, olab, trunc
 
     def __iter__(self) -> Iterator[dict]:
         files = self._epoch_files()
@@ -113,9 +114,11 @@ class FrameBatchLoader:
                     valid = np.zeros((bsz, self.point_cap), bool)
                     labels = np.full((bsz, self.point_cap), IGNORE_LABEL, np.int32)
                     names = []
-                    for i, (f, oxyz, osig, ovalid, olab) in enumerate(items):
+                    trunc_points = 0
+                    for i, (f, oxyz, osig, ovalid, olab, trunc) in enumerate(items):
                         xyz[i], sig[i], valid[i], labels[i] = oxyz, osig, ovalid, olab
                         names.append(f)
+                        trunc_points += trunc
                     out_q.put(
                         {
                             "files": names,
@@ -124,6 +127,7 @@ class FrameBatchLoader:
                             "sig": sig,
                             "valid": valid,
                             "labels": labels,
+                            "trunc_points": trunc_points,
                         }
                     )
                 out_q.put(None)

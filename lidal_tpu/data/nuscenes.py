@@ -141,12 +141,24 @@ def build_manifest(
 def load_splits(
     scene_names: List[str], splits_path: Optional[str] = None
 ) -> Tuple[List[str], List[str]]:
-    """(train_scenes, val_scenes).  Prefers an explicit splits.json; falls back to
-    a deterministic sorted 85/15 split with a warning."""
+    """(train_scenes, val_scenes).  Prefers an explicit splits.json; then the
+    official devkit split (if nuscenes-devkit is installed); falls back to a
+    deterministic sorted 85/15 split with a warning."""
     if splits_path and os.path.exists(splits_path):
         with open(splits_path) as f:
             sp = json.load(f)
         return list(sp["train"]), list(sp["val"])
+    try:  # official 700/150 lists live in the devkit (public constants)
+        from nuscenes.utils.splits import create_splits_scenes
+
+        sp = create_splits_scenes()
+        have = set(scene_names)
+        train = [s for s in sp["train"] if s in have]
+        val = [s for s in sp["val"] if s in have]
+        if train or val:
+            return train, val
+    except ImportError:
+        pass
     import warnings
 
     warnings.warn(

@@ -26,6 +26,18 @@ class TrainBatch(NamedTuple):
     labels: jnp.ndarray  # [B, cap0] int32 (IGNORE_LABEL on invalid/ignored)
     plan: UNetPlan
     pplan: Optional[PointPlan]
+    overflow: jnp.ndarray  # [B, levels] int32 unique voxels dropped per level
+
+
+def plan_overflow(plan: UNetPlan, uv_num_unique, uv_valid) -> jnp.ndarray:
+    """[B, levels] dropped-voxel counts; level 0 from the point voxelization.
+
+    The reference gets exactness for free from torch dynamic shapes
+    (``sk_dataset.py:163-169``); static capacities must be MONITORED instead —
+    drivers log nonzero counts and the e2e tests assert zero."""
+    lvl0 = (uv_num_unique - uv_valid.sum(axis=1)).astype(jnp.int32)
+    rest = [lv.overflow for lv in plan.levels[1:]]
+    return jnp.stack([lvl0] + rest, axis=1)
 
 
 class EvalBatch(NamedTuple):
@@ -34,6 +46,7 @@ class EvalBatch(NamedTuple):
     pplan: Optional[PointPlan]
     inverse: jnp.ndarray  # [B, P] point -> voxel (sentinel cap0)
     point_valid: jnp.ndarray  # [B, P]
+    overflow: jnp.ndarray  # [B, levels] int32 unique voxels dropped per level
 
 
 @partial(jax.jit, static_argnames=("level_caps", "scale", "full_scale", "with_points", "augment"))
@@ -59,7 +72,13 @@ def prepare_train_batch(
     # Voxel label = first point's label (np.unique keep-first, sk_dataset.py:167-171).
     labels_v = jnp.take_along_axis(labels_p, vf.uv.first_src, axis=1)
     labels_v = jnp.where(vf.uv.valid, labels_v, IGNORE_LABEL).astype(jnp.int32)
-    return TrainBatch(feats=vf.feats, labels=labels_v, plan=plan, pplan=pplan)
+    return TrainBatch(
+        feats=vf.feats,
+        labels=labels_v,
+        plan=plan,
+        pplan=pplan,
+        overflow=plan_overflow(plan, vf.uv.num_unique, vf.uv.valid),
+    )
 
 
 @partial(jax.jit, static_argnames=("level_caps", "scale", "full_scale", "with_points", "augment"))
@@ -91,6 +110,7 @@ def prepare_eval_batch(
         pplan=pplan,
         inverse=vf.uv.inverse,
         point_valid=vf.point_valid,
+        overflow=plan_overflow(plan, vf.uv.num_unique, vf.uv.valid),
     )
 
 

@@ -83,12 +83,15 @@ class MaskedBatchNorm(nn.Module):
 
     Matches torch semantics: biased variance for normalization, unbiased for the
     running estimate, ``running = (1 - momentum) * running + momentum * batch``.
-    Under pjit the reductions become global (sync-BN); the reference's per-GPU BN
-    (DDP without SyncBatchNorm) is a documented divergence.
+    With ``axis`` set (data-parallel shard_map), batch statistics psum over the
+    mesh axis — sync-BN, so a sharded step equals the single-device step
+    exactly; the reference's per-GPU BN (DDP without SyncBatchNorm) is a
+    documented divergence.
     """
 
     momentum: float = 0.1
     eps: float = 1e-5
+    axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, valid: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -100,10 +103,18 @@ class MaskedBatchNorm(nn.Module):
 
         if train:
             m = valid.astype(jnp.float32)[..., None]
-            cnt = jnp.maximum(m.sum(), 1.0)
+            cnt = m.sum()
+            xs = (x.astype(jnp.float32) * m).sum(tuple(range(x.ndim - 1)))
+            if self.axis is not None:
+                cnt = jax.lax.psum(cnt, self.axis)
+                xs = jax.lax.psum(xs, self.axis)
+            cnt = jnp.maximum(cnt, 1.0)
             xf = x.astype(jnp.float32)
-            mean = (xf * m).sum(tuple(range(x.ndim - 1))) / cnt
-            var = (jnp.square(xf - mean) * m).sum(tuple(range(x.ndim - 1))) / cnt
+            mean = xs / cnt
+            v_local = (jnp.square(xf - mean) * m).sum(tuple(range(x.ndim - 1)))
+            if self.axis is not None:
+                v_local = jax.lax.psum(v_local, self.axis)
+            var = v_local / cnt
             if not self.is_initializing():
                 unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
                 ra_mean.value = (1.0 - self.momentum) * ra_mean.value + self.momentum * mean
@@ -119,11 +130,12 @@ class ConvBlock(nn.Module):
     """conv ks=3 s=1 -> BN -> ReLU (reference BasicConvolutionBlock with ks=3)."""
 
     features: int
+    axis: str | None = None
 
     @nn.compact
     def __call__(self, x, level: LevelPlan, train: bool):
         x = SubMConv3(self.features)(x, level)
-        x = MaskedBatchNorm()(x, level.valid, train)
+        x = MaskedBatchNorm(axis=self.axis)(x, level.valid, train)
         return jax.nn.relu(x)
 
 
@@ -131,11 +143,12 @@ class DownBlock(nn.Module):
     """conv ks=2 s=2 -> BN -> ReLU (reference BasicConvolutionBlock ks=2 stride=2)."""
 
     features: int
+    axis: str | None = None
 
     @nn.compact
     def __call__(self, x, down: DownPlan, out_level: LevelPlan, train: bool):
         x = DownConv2(self.features)(x, down)
-        x = MaskedBatchNorm()(x, out_level.valid, train)
+        x = MaskedBatchNorm(axis=self.axis)(x, out_level.valid, train)
         return jax.nn.relu(x)
 
 
@@ -143,11 +156,12 @@ class UpBlock(nn.Module):
     """transposed conv ks=2 s=2 -> BN -> ReLU (reference BasicDeconvolutionBlock)."""
 
     features: int
+    axis: str | None = None
 
     @nn.compact
     def __call__(self, x, down: DownPlan, out_level: LevelPlan, train: bool):
         x = UpConv2(self.features)(x, down)
-        x = MaskedBatchNorm()(x, out_level.valid, train)
+        x = MaskedBatchNorm(axis=self.axis)(x, out_level.valid, train)
         return jax.nn.relu(x)
 
 
@@ -156,19 +170,20 @@ class ResidualBlock(nn.Module):
     (reference ResidualBlock, network/utils.py:142-172; always stride 1 here)."""
 
     features: int
+    axis: str | None = None
 
     @nn.compact
     def __call__(self, x, level: LevelPlan, train: bool):
         y = SubMConv3(self.features)(x, level)
-        y = MaskedBatchNorm()(y, level.valid, train)
+        y = MaskedBatchNorm(axis=self.axis)(y, level.valid, train)
         y = jax.nn.relu(y)
         y = SubMConv3(self.features)(y, level)
-        y = MaskedBatchNorm()(y, level.valid, train)
+        y = MaskedBatchNorm(axis=self.axis)(y, level.valid, train)
         if x.shape[-1] == self.features:
             sc = x
         else:
             sc = Conv1x1(self.features)(x)
-            sc = MaskedBatchNorm()(sc, level.valid, train)
+            sc = MaskedBatchNorm(axis=self.axis)(sc, level.valid, train)
         return jax.nn.relu(y + sc)
 
 

@@ -30,21 +30,23 @@ CS = (32, 32, 64, 128, 256, 256, 128, 96, 96)
 class MinkUNet(nn.Module):
     num_classes: int
     cs: Tuple[int, ...] = CS
+    bn_axis: str | None = None  # mesh axis for sync-BN under data parallelism
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, plan: UNetPlan, train: bool = False):
         cs = self.cs
+        ax = self.bn_axis
         lv = plan.levels
         dn = plan.downs
 
         # Stem: two conv3-BN-ReLU at level 0 (reference minkunet.py:22-26).
-        x0 = ConvBlock(cs[0])(feats, lv[0], train)
-        x0 = ConvBlock(cs[0])(x0, lv[0], train)
+        x0 = ConvBlock(cs[0], ax)(feats, lv[0], train)
+        x0 = ConvBlock(cs[0], ax)(x0, lv[0], train)
 
         def stage(x, i, c_out, level):
-            x = DownBlock(self.cs[i])(x, dn[i], level, train)
-            x = ResidualBlock(c_out)(x, level, train)
-            x = ResidualBlock(c_out)(x, level, train)
+            x = DownBlock(self.cs[i], ax)(x, dn[i], level, train)
+            x = ResidualBlock(c_out, ax)(x, level, train)
+            x = ResidualBlock(c_out, ax)(x, level, train)
             return x
 
         x1 = stage(x0, 0, cs[1], lv[1])
@@ -53,10 +55,10 @@ class MinkUNet(nn.Module):
         x4 = stage(x3, 3, cs[4], lv[4])
 
         def up(x, skip, i, c_out, level):
-            x = UpBlock(c_out)(x, dn[i], level, train)
+            x = UpBlock(c_out, ax)(x, dn[i], level, train)
             x = jnp.concatenate([x, skip], axis=-1)
-            x = ResidualBlock(c_out)(x, level, train)
-            x = ResidualBlock(c_out)(x, level, train)
+            x = ResidualBlock(c_out, ax)(x, level, train)
+            x = ResidualBlock(c_out, ax)(x, level, train)
             return x
 
         y1 = up(x4, x3, 3, cs[5], lv[3])

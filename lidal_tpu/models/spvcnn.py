@@ -34,11 +34,12 @@ class PointTransform(nn.Module):
     """Linear -> BatchNorm1d -> ReLU on point features (reference spvcnn.py:85-101)."""
 
     features: int
+    axis: str | None = None
 
     @nn.compact
     def __call__(self, x, valid, train: bool):
         x = TorchLinear(self.features)(x)
-        x = MaskedBatchNorm()(x, valid, train)
+        x = MaskedBatchNorm(axis=self.axis)(x, valid, train)
         return jax.nn.relu(x)
 
 
@@ -46,6 +47,7 @@ class SPVCNN(nn.Module):
     num_classes: int
     cs: Tuple[int, ...] = CS
     dropout_rate: float = 0.3
+    bn_axis: str | None = None  # mesh axis for sync-BN under data parallelism
 
     @nn.compact
     def __call__(
@@ -56,6 +58,7 @@ class SPVCNN(nn.Module):
         train: bool = False,
     ):
         cs = self.cs
+        ax = self.bn_axis
         lv = plan.levels
         dn = plan.downs
         valid0 = lv[0].valid
@@ -66,14 +69,14 @@ class SPVCNN(nn.Module):
         p2v = lambda pf, am: map_frames(point_to_voxel_avg, pf, am)  # noqa: E731
 
         # Stem at level 0; z0 = voxel_to_point at stride 1 == identity (spvcnn.py:116-120).
-        x0 = ConvBlock(cs[0])(feats, lv[0], train)
-        x0 = ConvBlock(cs[0])(x0, lv[0], train)
+        x0 = ConvBlock(cs[0], ax)(feats, lv[0], train)
+        x0 = ConvBlock(cs[0], ax)(x0, lv[0], train)
         z0 = x0
 
         def stage(x, i, c_out, level):
-            x = DownBlock(self.cs[i])(x, dn[i], level, train)
-            x = ResidualBlock(c_out)(x, level, train)
-            x = ResidualBlock(c_out)(x, level, train)
+            x = DownBlock(self.cs[i], ax)(x, dn[i], level, train)
+            x = ResidualBlock(c_out, ax)(x, level, train)
+            x = ResidualBlock(c_out, ax)(x, level, train)
             return x
 
         # point_to_voxel(x0, z0) is identity at stride 1 (spvcnn.py:122).
@@ -83,13 +86,13 @@ class SPVCNN(nn.Module):
         x4 = stage(x3, 3, cs[4], lv[4])
 
         # z1 = voxel_to_point(x4) + point_transforms[0](z0)  (spvcnn.py:127-128)
-        z1 = tri(x4, pplan.tri4) + PointTransform(cs[4])(z0, valid0, train)
+        z1 = tri(x4, pplan.tri4) + PointTransform(cs[4], ax)(z0, valid0, train)
 
         def up(x, skip, i, c_out, level):
-            x = UpBlock(c_out)(x, dn[i], level, train)
+            x = UpBlock(c_out, ax)(x, dn[i], level, train)
             x = jnp.concatenate([x, skip], axis=-1)
-            x = ResidualBlock(c_out)(x, level, train)
-            x = ResidualBlock(c_out)(x, level, train)
+            x = ResidualBlock(c_out, ax)(x, level, train)
+            x = ResidualBlock(c_out, ax)(x, level, train)
             return x
 
         # y1 = point_to_voxel(x4, z1) -> dropout -> up1 (spvcnn.py:130-134)
@@ -99,7 +102,7 @@ class SPVCNN(nn.Module):
         y2 = up(y1, x2, 2, cs[6], lv[2])
 
         # z2 = voxel_to_point(y2) + point_transforms[1](z1)  (spvcnn.py:139-140)
-        z2 = tri(y2, pplan.tri2) + PointTransform(cs[6])(z1, valid0, train)
+        z2 = tri(y2, pplan.tri2) + PointTransform(cs[6], ax)(z1, valid0, train)
 
         # y3 = point_to_voxel(y2, z2) -> dropout -> up3 (spvcnn.py:142-146)
         y3 = p2v(z2, pplan.avg2)
@@ -108,7 +111,7 @@ class SPVCNN(nn.Module):
         y4 = up(y3, x0, 0, cs[8], lv[0])
 
         # z3 = voxel_to_point(y4) (identity at stride 1) + point_transforms[2](z2)
-        z3 = y4 + PointTransform(cs[8])(z2, valid0, train)
+        z3 = y4 + PointTransform(cs[8], ax)(z2, valid0, train)
 
         logits = TorchLinear(self.num_classes)(z3)
         logits = logits * valid0[..., None]

@@ -53,6 +53,7 @@ class LevelPlan(NamedTuple):
     valid: jnp.ndarray  # [cap] bool
     nbr3: jnp.ndarray  # [cap, 27] int32 into this level (sentinel = cap)
     num_valid: jnp.ndarray  # [] int32
+    overflow: jnp.ndarray  # [] int32: unique voxels dropped past the capacity
 
 
 class DownPlan(NamedTuple):
@@ -173,15 +174,21 @@ def build_unet_plan(coords0: jnp.ndarray, valid0: jnp.ndarray, caps: Sequence[in
 
     levels = []
     downs = []
+    b = coords0.shape[0]
     cur_coords, cur_valid = coords0, valid0
+    # level 0 is pre-deduplicated by the caller; its overflow (if any) is
+    # accounted by the pipeline from the point-voxelization result
+    cur_overflow = jnp.zeros((b,), jnp.int32)
     for l, cap in enumerate(caps):
         nbr3 = build_subm_nbr_batched(cur_coords, cur_valid)
+        num_valid = cur_valid.sum(axis=1).astype(jnp.int32)
         levels.append(
             LevelPlan(
                 coords=cur_coords,
                 valid=cur_valid,
                 nbr3=nbr3,
-                num_valid=cur_valid.sum(axis=1).astype(jnp.int32),
+                num_valid=num_valid,
+                overflow=cur_overflow,
             )
         )
         if l + 1 < len(caps):
@@ -190,4 +197,5 @@ def build_unet_plan(coords0: jnp.ndarray, valid0: jnp.ndarray, caps: Sequence[in
             )
             downs.append(down)
             cur_coords, cur_valid = uvc.coords, uvc.valid
+            cur_overflow = (uvc.num_unique - uvc.valid.sum(axis=1)).astype(jnp.int32)
     return UNetPlan(levels=tuple(levels), downs=tuple(downs))

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import time
 from functools import partial
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,28 +44,21 @@ def batch_confusion(
     return confusion_matrix(pred.reshape(-1), gt.reshape(-1), num_classes)
 
 
-def run_eval(
-    cfg: RunConfig,
-    eval_step: Callable,  # (variables, feats, plan[, pplan]) -> (logits, feat96)
-    variables,
-    loader: FrameBatchLoader,
-    seed: int = 1,
-    verbose: bool = True,
-) -> float:
-    """Evaluate over a val loader; returns mean IoU."""
+def make_eval_conf_fn(cfg: RunConfig, eval_step: Callable, n_devices: Optional[int] = None):
+    """(variables, keys, xyz, sig, valid, labels) -> confusion [C, C].
+
+    With >1 device the batch shards over a data mesh and the per-shard
+    confusion matrices psum over ICI — the TPU-native form of the reference's
+    explicit ``dist.all_reduce`` (``evaluate.py:117-119``)."""
     data = cfg.data
     c = data.num_classes
-    conf = jnp.zeros((c, c), jnp.int32)
-    rng = jax.random.PRNGKey(seed)
-    start = time.time()
-    for bi, batch in enumerate(loader):
-        rng, sub = jax.random.split(rng)
-        keys = jax.random.split(sub, batch["xyz"].shape[0])
+
+    def one(variables, keys, xyz, sig, valid, labels):
         eb = prepare_eval_batch(
             keys,
-            jnp.asarray(batch["xyz"]),
-            jnp.asarray(batch["sig"]),
-            jnp.asarray(batch["valid"]),
+            xyz,
+            sig,
+            valid,
             level_caps=data.level_caps,
             scale=data.scale,
             full_scale=data.full_scale,
@@ -75,9 +68,67 @@ def run_eval(
             logits, _ = eval_step(variables, eb.feats, eb.plan, eb.pplan)
         else:
             logits, _ = eval_step(variables, eb.feats, eb.plan)
-        conf = conf + batch_confusion(
-            logits, eb.inverse, eb.point_valid, jnp.asarray(batch["labels"]), c
+        return batch_confusion(logits, eb.inverse, eb.point_valid, labels, c), eb.overflow.sum()
+
+    n_dev = n_devices if n_devices is not None else jax.device_count()
+    if n_dev > 1:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from lidal_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices()[:n_dev])
+
+        def sharded(variables, keys, xyz, sig, valid, labels):
+            conf, ovf = one(variables, keys, xyz, sig, valid, labels)
+            return jax.lax.psum(conf, "data"), jax.lax.psum(ovf, "data")
+
+        return jax.jit(
+            shard_map(
+                sharded,
+                mesh=mesh,
+                in_specs=(P(), P("data"), P("data"), P("data"), P("data"), P("data")),
+                out_specs=(P(), P()),
+                check_rep=False,
+            )
         )
+    return jax.jit(one)
+
+
+def run_eval(
+    cfg: RunConfig,
+    eval_step: Callable,  # (variables, feats, plan[, pplan]) -> (logits, feat96)
+    variables,
+    loader: FrameBatchLoader,
+    seed: int = 1,
+    verbose: bool = True,
+    n_devices: Optional[int] = None,
+) -> float:
+    """Evaluate over a val loader; returns mean IoU.  Batches shard over all
+    local devices (size the loader's batch accordingly)."""
+    data = cfg.data
+    c = data.num_classes
+    conf_fn = make_eval_conf_fn(cfg, eval_step, n_devices)
+    conf = jnp.zeros((c, c), jnp.int32)
+    rng = jax.random.PRNGKey(seed)
+    start = time.time()
+    for bi, batch in enumerate(loader):
+        rng, sub = jax.random.split(rng)
+        keys = jax.random.split(sub, batch["xyz"].shape[0])
+        bconf, ovf = conf_fn(
+            variables,
+            keys,
+            jnp.asarray(batch["xyz"]),
+            jnp.asarray(batch["sig"]),
+            jnp.asarray(batch["valid"]),
+            jnp.asarray(batch["labels"]),
+        )
+        conf = conf + bconf
+        if int(ovf) or batch.get("trunc_points", 0):
+            print(
+                f"WARNING: capacity overflow (voxels {int(ovf)}, "
+                f"points {batch.get('trunc_points', 0)}) in eval batch {bi}"
+            )
     conf_np = np.asarray(jax.device_get(conf))
     if verbose:
         miou = print_iou(conf_np)

@@ -29,16 +29,24 @@ def make_optimizer(lr: float = 1e-3) -> optax.GradientTransformation:
     return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
 
 
-def cross_entropy_ignore(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+def cross_entropy_ignore(
+    logits: jnp.ndarray, labels: jnp.ndarray, axis_name: Optional[str] = None
+) -> jnp.ndarray:
     """Mean CE over labels != 255 (reference ``train.py:136``:
-    F.cross_entropy(ignore_index=255, reduction='mean'))."""
-    num_classes = logits.shape[-1]
+    F.cross_entropy(ignore_index=255, reduction='mean')).
+
+    With ``axis_name`` (data-parallel shard_map) the mean is over the GLOBAL
+    valid count: the local value is local_sum / global_count, so psumming the
+    per-shard losses (and gradients) reproduces the single-device step exactly.
+    """
     mask = (labels != IGNORE_LABEL).astype(jnp.float32)
     safe_labels = jnp.where(labels == IGNORE_LABEL, 0, labels)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, safe_labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
-    del num_classes
-    return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    cnt = mask.sum()
+    if axis_name is not None:
+        cnt = jax.lax.psum(cnt, axis_name)
+    return (nll * mask).sum() / jnp.maximum(cnt, 1.0)
 
 
 def init_state(model, rng, batch: TrainBatch, tx: optax.GradientTransformation) -> TrainState:
@@ -58,8 +66,18 @@ def init_state(model, rng, batch: TrainBatch, tx: optax.GradientTransformation) 
     )
 
 
-def make_train_step(model, tx: optax.GradientTransformation, with_points: bool):
-    """Returns train_step(state, batch, dropout_rng) -> (state, loss). jit/pjit-able."""
+def make_train_step(
+    model, tx: optax.GradientTransformation, with_points: bool, axis_name: Optional[str] = None
+):
+    """Returns train_step(state, batch, dropout_rng) -> (state, loss).
+
+    Without ``axis_name``: jit/pjit-able single-device step.  With it: the
+    per-shard body for a data-parallel ``shard_map`` — gradients and the loss
+    psum over the mesh axis (the TPU-native DDP all-reduce; reference
+    ``train.py:49-53``), and the model must be built with the same ``bn_axis``
+    so batch statistics sync too.  The sharded step then matches the
+    single-device step bit-for-modulo-reduction-order.
+    """
 
     def train_step(state: TrainState, batch: TrainBatch, dropout_rng: jax.Array):
         def loss_fn(params):
@@ -72,10 +90,13 @@ def make_train_step(model, tx: optax.GradientTransformation, with_points: bool):
                 mutable=["batch_stats"],
                 rngs={"dropout": dropout_rng},
             )
-            loss = cross_entropy_ignore(logits, batch.labels)
+            loss = cross_entropy_ignore(logits, batch.labels, axis_name)
             return loss, updates["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.psum(grads, axis_name)
+            loss = jax.lax.psum(loss, axis_name)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return (

@@ -36,8 +36,10 @@ from lidal_tpu.runtime.paths import Paths, ensure_dir
 from lidal_tpu.runtime.train import init_state, make_optimizer, make_train_step
 
 
-def build_model(cfg: RunConfig):
-    return (SPVCNN if cfg.is_spvcnn else MinkUNet)(num_classes=cfg.data.num_classes)
+def build_model(cfg: RunConfig, bn_axis: Optional[str] = None):
+    return (SPVCNN if cfg.is_spvcnn else MinkUNet)(
+        num_classes=cfg.data.num_classes, bn_axis=bn_axis
+    )
 
 
 def make_sk_read_fn(cfg: RunConfig, sv_flag_by_frame=None, sv_info_by_frame=None, pseudo_by_frame=None):
@@ -70,7 +72,9 @@ def nu_seq_frames(cfg: RunConfig):
     return {s: manifest[s] for s in train}
 
 
-def _build_nu_train_loader(cfg: RunConfig, shuffle: bool = True) -> FrameBatchLoader:
+def _build_nu_train_loader(
+    cfg: RunConfig, shuffle: bool = True, batch_multiplier: int = 1
+) -> FrameBatchLoader:
     """nuScenes loaders: same flag trees keyed by scene name; frame 'files' are
     manifest entries (dicts), named by in-scene index like the reference's
     seq_frame ids (nu_dataloader.py:294-319)."""
@@ -81,21 +85,39 @@ def _build_nu_train_loader(cfg: RunConfig, shuffle: bool = True) -> FrameBatchLo
     split = sorted(seq_frames)
     all_entries = [e for s in split for e in seq_frames[s]]
 
+    read_fn = lambda e: nu.read_frame(e, with_labels=True)  # noqa: E731
     if cfg.r_id == 0:
         bootstrap_round0(cfg, seq_frames)
         flags = frame_flags_for_round_generic(cfg, split, seq_frames)
         entries = [e for e, keep in zip(all_entries, flags) if keep]
     elif cfg.metric_name == "full":
         entries = all_entries
-    else:
+    elif cfg.label_unit == "fr":
         flags = frame_flags_for_round_generic(cfg, split, seq_frames)
         entries = [e for e, keep in zip(all_entries, flags) if keep]
+    else:  # sv: frames with labeled supervoxels, labels masked per point
+        from lidal_tpu.data.selection import frame_name
+
+        entries, svf, svi, pse = sv_training_set(cfg, seq_frames)
+        svf_by = dict(zip(map(frame_name, entries), svf))
+        svi_by = dict(zip(map(frame_name, entries), svi))
+        pse_by = dict(zip(map(frame_name, entries), pse)) if pse else None
+
+        def read_fn(e):  # noqa: F811
+            xyz, sig, labels = nu.read_frame(e, with_labels=True)
+            name = frame_name(e)
+            flags = np.load(svf_by[name])
+            point2sv, _ = load_sv_info(svi_by[name])
+            pseudo = np.load(pse_by[name]) if pse_by is not None else None
+            labels = apply_sv_label_mask(labels, point2sv, flags, pseudo)
+            return xyz, sig, labels
+
     print(f"Train_{cfg.r_id}r samples:", len(entries))
     return FrameBatchLoader(
         entries,
-        lambda e: nu.read_frame(e, with_labels=True),
+        read_fn,
         point_cap=data.point_cap,
-        batch_size=data.batch_size,
+        batch_size=data.batch_size * batch_multiplier,
         shuffle=shuffle,
         seed=cfg.seed,
     )
@@ -113,10 +135,12 @@ def frame_flags_for_round_generic(cfg: RunConfig, split, seq_frames):
         return np.zeros(sum(len(seq_frames[s]) for s in split), bool)
 
 
-def build_train_loader(cfg: RunConfig, shuffle: bool = True) -> FrameBatchLoader:
+def build_train_loader(
+    cfg: RunConfig, shuffle: bool = True, batch_multiplier: int = 1
+) -> FrameBatchLoader:
     data = cfg.data
     if cfg.dataset_name == "NU":
-        return _build_nu_train_loader(cfg, shuffle)
+        return _build_nu_train_loader(cfg, shuffle, batch_multiplier)
     seq_frames = {s: sk.list_frames(cfg.data_root, [s]) for s in data.train_split}
     all_files = [f for s in data.train_split for f in seq_frames[s]]
 
@@ -141,10 +165,64 @@ def build_train_loader(cfg: RunConfig, shuffle: bool = True) -> FrameBatchLoader
         files,
         read_fn,
         point_cap=data.point_cap,
-        batch_size=data.batch_size,
+        batch_size=data.batch_size * batch_multiplier,
         shuffle=shuffle,
         seed=cfg.seed,
     )
+
+
+def make_train_fn(cfg: RunConfig, n_devices: Optional[int] = None):
+    """Build (model, tx, train_fn) where train_fn(state, keys, xyz, sig, valid,
+    labels, rng) -> (state, loss) runs batch prep + one optimizer step.
+
+    With more than one device the whole step runs under a data-parallel
+    ``shard_map``: the batch (frame axis) shards over the mesh, parameters stay
+    replicated, and gradient/loss/BN reductions psum over ICI — the TPU-native
+    DDP of reference ``train.py:26-53``.  Identical math to single-device.
+    """
+    data = cfg.data
+    n_dev = n_devices if n_devices is not None else jax.device_count()
+    dp = n_dev > 1
+    axis = "data" if dp else None
+    model = build_model(cfg, bn_axis=axis)
+    tx = make_optimizer()
+    prep = functools.partial(
+        prepare_train_batch,
+        level_caps=data.level_caps,
+        scale=data.scale,
+        full_scale=data.full_scale,
+        with_points=cfg.is_spvcnn,
+    )
+    inner = make_train_step(model, tx, with_points=cfg.is_spvcnn, axis_name=axis)
+
+    def step_all(state, keys, xyz, sig, valid, labels, rng):
+        tb = prep(keys, xyz, sig, valid, labels)
+        ovf = tb.overflow.sum()
+        if axis is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            ovf = jax.lax.psum(ovf, axis)
+        new_state, loss = inner(state, tb, rng)
+        return new_state, loss, ovf
+
+    if dp:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from lidal_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices()[:n_dev])
+        train_fn = jax.jit(
+            shard_map(
+                step_all,
+                mesh=mesh,
+                in_specs=(P(), P("data"), P("data"), P("data"), P("data"), P("data"), P()),
+                out_specs=(P(), P(), P()),
+                check_rep=False,
+            )
+        )
+    else:
+        train_fn = jax.jit(step_all)
+    return model, tx, prep, train_fn
 
 
 def run_train(
@@ -153,24 +231,24 @@ def run_train(
     max_iter: Optional[int] = None,
     log_every: int = 50,
     on_step: Optional[Callable] = None,
+    n_devices: Optional[int] = None,
 ):
-    """Train one round; returns the final TrainState."""
-    data = cfg.data
-    model = build_model(cfg)
-    tx = make_optimizer()
+    """Train one round; returns the final TrainState.
+
+    The global batch is ``cfg.data.batch_size`` frames PER DEVICE (matching the
+    reference's per-GPU batch under DDP, ``sk_dataloader.py:21,39-42``).  With a
+    caller-provided loader, the mesh shrinks to the largest device count that
+    divides its batch size."""
+    import math
+
+    n_dev = n_devices if n_devices is not None else jax.device_count()
+    if loader is not None:
+        n_dev = math.gcd(loader.batch_size, n_dev)
+    model, tx, prep, train_fn = make_train_fn(cfg, n_dev)
     paths = Paths(cfg)
     ensure_dir(paths.ckpt_dir())
-    loader = loader or build_train_loader(cfg)
+    loader = loader or build_train_loader(cfg, batch_multiplier=n_dev)
     max_iter = max_iter if max_iter is not None else cfg.max_iter
-
-    prep = functools.partial(
-        prepare_train_batch,
-        level_caps=data.level_caps,
-        scale=data.scale,
-        full_scale=data.full_scale,
-        with_points=cfg.is_spvcnn,
-    )
-    train_step = jax.jit(make_train_step(model, tx, with_points=cfg.is_spvcnn))
 
     rng = jax.random.PRNGKey(cfg.seed)
     state = None
@@ -196,19 +274,25 @@ def run_train(
         for batch in loader:
             rng, k1, k2 = jax.random.split(rng, 3)
             keys = jax.random.split(k1, batch["xyz"].shape[0])
-            tb = prep(
+            state, loss, ovf = train_fn(
+                state,
                 keys,
                 jnp.asarray(batch["xyz"]),
                 jnp.asarray(batch["sig"]),
                 jnp.asarray(batch["valid"]),
                 jnp.asarray(batch["labels"]),
+                k2,
             )
-            state, loss = train_step(state, tb, k2)
+            trunc = batch.get("trunc_points", 0)
+            if trunc:
+                print(f"WARNING: point_cap truncated {trunc} points this batch")
             step += 1
             if on_step is not None:
                 on_step(step, loss)
             if step % log_every == 0:
-                print(f"Iteration: {step} loss: {float(loss):.4f}")
+                ovf_i = int(ovf)
+                extra = f" voxel_overflow: {ovf_i}" if ovf_i else ""
+                print(f"Iteration: {step} loss: {float(loss):.4f}{extra}")
             if step % cfg.ckpt_every == 0:
                 ckpt.save_checkpoint(paths.ckpt_dir(), ckpt.device_get_state(state), ep_id)
             if step >= max_iter:

@@ -27,7 +27,7 @@ def test_nn_query_matches_kdtree_within_threshold(seed):
     nei = _cloud(rng, 800, extent=4.0)
     q = _cloud(rng, 500, extent=4.2, offset=-0.1)
     grid = build_grid(jnp.asarray(nei), jnp.ones(len(nei), bool), cell=thresh)
-    dist, nn_src, found = nn_query(grid, jnp.asarray(q), jnp.ones(len(q), bool), cell=thresh)
+    dist, nn_src, found, _ = nn_query(grid, jnp.asarray(q), jnp.ones(len(q), bool), cell=thresh)
     dist, nn_src, found = np.asarray(dist), np.asarray(nn_src), np.asarray(found)
 
     tree = KDTree(nei)
@@ -46,11 +46,11 @@ def test_nn_query_negative_coords_and_empty():
     nei = _cloud(rng, 100, extent=3.0, offset=-50.0)  # negative global coords
     q = nei[:20] + 0.03
     grid = build_grid(jnp.asarray(nei), jnp.ones(len(nei), bool), cell=0.1)
-    dist, nn_src, found = nn_query(grid, jnp.asarray(q), jnp.ones(len(q), bool), cell=0.1)
+    dist, nn_src, found, _ = nn_query(grid, jnp.asarray(q), jnp.ones(len(q), bool), cell=0.1)
     assert np.asarray(found).all()
     assert (np.asarray(dist) <= 0.1).all()
     # invalid queries are never found
-    _, _, f2 = nn_query(grid, jnp.asarray(q), jnp.zeros(len(q), bool), cell=0.1)
+    _, _, f2, _ = nn_query(grid, jnp.asarray(q), jnp.zeros(len(q), bool), cell=0.1)
     assert not np.asarray(f2).any()
 
 

@@ -1,0 +1,152 @@
+"""Data-parallel drivers vs single-device: exact-math equivalence on the
+8-device CPU mesh (VERDICT round-1 items 2 and 8)."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lidal_tpu.config import RunConfig, SK_CONFIG
+from lidal_tpu.data.loader import FrameBatchLoader
+from lidal_tpu.runtime.evaluate import make_eval_conf_fn
+from lidal_tpu.runtime.train import init_state, make_eval_step
+from lidal_tpu.runtime.train_loop import make_train_fn
+
+CAPS = (2048, 1024, 512, 256, 128)
+P = 2048
+
+
+def _cfg(tmp):
+    data = dataclasses.replace(SK_CONFIG, point_cap=P, level_caps=CAPS, batch_size=1)
+    return RunConfig(
+        metric_name="full",
+        r_id=1,
+        processing_root=os.path.join(str(tmp), "proc"),
+        checkpoint_root=os.path.join(str(tmp), "ckpt"),
+        data_override=data,
+    )
+
+
+def _points(b, seed=0):
+    rng = np.random.default_rng(seed)
+    n = int(P * 0.9)
+    xyz = np.zeros((b, P, 3), np.float32)
+    sig = np.zeros((b, P), np.float32)
+    valid = np.zeros((b, P), bool)
+    labels = np.full((b, P), 255, np.int32)
+    for i in range(b):
+        r = rng.uniform(2, 40, n)
+        th = rng.uniform(0, 2 * np.pi, n)
+        xyz[i, :n] = np.stack([r * np.cos(th), r * np.sin(th), 0.1 * rng.standard_normal(n)], 1)
+        sig[i, :n] = rng.random(n)
+        valid[i, :n] = True
+        labels[i, :n] = rng.integers(0, 19, n)
+    return (jnp.asarray(xyz), jnp.asarray(sig), jnp.asarray(valid), jnp.asarray(labels))
+
+
+def test_sharded_train_step_matches_single_device(tmp_path):
+    b = 8
+    cfg = _cfg(tmp_path)
+    xyz, sig, valid, labels = _points(b)
+    keys = jax.random.split(jax.random.PRNGKey(0), b)
+    rng = jax.random.PRNGKey(2)
+
+    model1, tx1, prep1, fn1 = make_train_fn(cfg, n_devices=1)
+    tb = prep1(keys, xyz, sig, valid, labels)
+    state1 = init_state(model1, jax.random.PRNGKey(1), tb, tx1)
+    s1, loss1, ovf1 = fn1(state1, keys, xyz, sig, valid, labels, rng)
+
+    model8, tx8, prep8, fn8 = make_train_fn(cfg, n_devices=8)
+    state8 = init_state(model8, jax.random.PRNGKey(1), tb, tx8)
+    s8, loss8, ovf8 = fn8(state8, keys, xyz, sig, valid, labels, rng)
+
+    # identical init (bn_axis does not change the param tree)
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+    # dense synthetic frames saturate the tiny deep-level caps — the
+    # counters must agree across sharding (and prove the plumbing works)
+    assert int(ovf1) == int(ovf8) > 0
+    # Gradient parity, scale-sensitive: Adam's moments are direct images of the
+    # (psum'd vs single-device) gradients — a missing/extra reduction would be
+    # off by the shard count.  (Post-Adam params are a weak check: near-zero
+    # grads normalize to +-lr on reduction-order noise alone.)
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(s1.opt_state), jax.tree_util.tree_leaves(s8.opt_state)
+    ):
+        a, b_ = np.asarray(a, np.float64), np.asarray(b_, np.float64)
+        # per-leaf scale-aware atol: grad components formed by cancellation can
+        # be tiny with large relative noise; a missing psum would shift the
+        # whole leaf by the shard count and still trip this
+        scale = max(np.abs(a).max(), np.abs(b_).max(), 1e-12)
+        np.testing.assert_allclose(a, b_, rtol=1e-2, atol=2e-2 * scale)
+    # params drift bounded by the learning rate on sign flips of ~0 grads
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s8.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-3)
+    # sync-BN: batch stats must match the global single-device stats
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(s1.batch_stats), jax.tree_util.tree_leaves(s8.batch_stats)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-6)
+
+
+def test_sharded_eval_confusion_matches_single_device(tmp_path):
+    b = 8
+    cfg = _cfg(tmp_path)
+    xyz, sig, valid, labels = _points(b, seed=3)
+    keys = jax.random.split(jax.random.PRNGKey(5), b)
+
+    model1, tx1, prep1, _ = make_train_fn(cfg, n_devices=1)
+    tb = prep1(keys, xyz, sig, valid, labels)
+    state = init_state(model1, jax.random.PRNGKey(1), tb, tx1)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    eval_step = make_eval_step(model1, with_points=False)
+
+    conf1, ovf1 = make_eval_conf_fn(cfg, eval_step, n_devices=1)(
+        variables, keys, xyz, sig, valid, labels
+    )
+    conf8, ovf8 = make_eval_conf_fn(cfg, eval_step, n_devices=8)(
+        variables, keys, xyz, sig, valid, labels
+    )
+    np.testing.assert_array_equal(np.asarray(conf1), np.asarray(conf8))
+    assert int(ovf1) == int(ovf8)
+
+
+def test_loader_pads_final_batch_for_sharding():
+    files = list(range(5))
+
+    def read_fn(i):
+        rng = np.random.default_rng(i)
+        n = 100
+        return (
+            rng.random((n, 3)).astype(np.float32),
+            rng.random(n).astype(np.float32),
+            np.zeros(n, np.int32),
+        )
+
+    loader = FrameBatchLoader(files, read_fn, point_cap=128, batch_size=8, num_workers=1)
+    batches = list(loader)
+    assert len(batches) == 1
+    assert batches[0]["xyz"].shape[0] == 8  # padded to the full (shardable) size
+    assert batches[0]["n_frames"] == 5
+    assert not batches[0]["valid"][5:].any()
+
+
+def test_overflow_counter_detects_capacity_saturation(tmp_path):
+    """Dense random coords saturate tiny caps; the counter must go nonzero."""
+    import dataclasses as dc
+
+    from lidal_tpu.data.pipeline import prepare_train_batch
+
+    data = dc.replace(SK_CONFIG, point_cap=P, level_caps=(256, 128, 64, 64, 64), batch_size=1)
+    rng = np.random.default_rng(0)
+    xyz = jnp.asarray(rng.uniform(-50, 50, (1, P, 3)).astype(np.float32))
+    sig = jnp.zeros((1, P))
+    valid = jnp.ones((1, P), bool)
+    labels = jnp.zeros((1, P), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)
+    tb = prepare_train_batch(keys, xyz, sig, valid, labels, level_caps=data.level_caps)
+    assert int(np.asarray(tb.overflow).sum()) > 0
