@@ -171,14 +171,23 @@ def build_train_loader(
     )
 
 
-def make_train_fn(cfg: RunConfig, n_devices: Optional[int] = None):
-    """Build (model, tx, train_fn) where train_fn(state, keys, xyz, sig, valid,
-    labels, rng) -> (state, loss) runs batch prep + one optimizer step.
+def make_train_fn(
+    cfg: RunConfig, n_devices: Optional[int] = None, steps_per_call: int = 1
+):
+    """Build (model, tx, prep, train_fn) where train_fn(state, keys, xyz, sig,
+    valid, labels, rng) -> (state, loss, overflow) runs batch prep + optimizer
+    step(s).
 
     With more than one device the whole step runs under a data-parallel
     ``shard_map``: the batch (frame axis) shards over the mesh, parameters stay
     replicated, and gradient/loss/BN reductions psum over ICI — the TPU-native
     DDP of reference ``train.py:26-53``.  Identical math to single-device.
+
+    With ``steps_per_call`` > 1, the arrays carry a leading step axis and the
+    optimizer loop runs ON DEVICE (``lax.scan``): one host dispatch per K
+    iterations instead of per iteration (through the tunneled backend a single
+    dispatch costs up to ~1 s — pure orchestration).  loss/overflow come back
+    as [K] vectors.
     """
     data = cfg.data
     n_dev = n_devices if n_devices is not None else jax.device_count()
@@ -195,7 +204,7 @@ def make_train_fn(cfg: RunConfig, n_devices: Optional[int] = None):
     )
     inner = make_train_step(model, tx, with_points=cfg.is_spvcnn, axis_name=axis)
 
-    def step_all(state, keys, xyz, sig, valid, labels, rng):
+    def one_step(state, keys, xyz, sig, valid, labels, rng):
         tb = prep(keys, xyz, sig, valid, labels)
         ovf = tb.overflow.sum()
         if axis is not None:
@@ -204,6 +213,21 @@ def make_train_fn(cfg: RunConfig, n_devices: Optional[int] = None):
         new_state, loss = inner(state, tb, rng)
         return new_state, loss, ovf
 
+    if steps_per_call == 1:
+        step_all = one_step
+    else:
+
+        def step_all(state, keys, xyz, sig, valid, labels, rng):
+            # leading axis = step; the whole K-iteration loop lives on device
+            def body(st, args):
+                st, loss, ovf = one_step(st, *args)
+                return st, (loss, ovf)
+
+            state, (losses, ovfs) = jax.lax.scan(
+                body, state, (keys, xyz, sig, valid, labels, rng)
+            )
+            return state, losses, ovfs
+
     if dp:
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
@@ -211,11 +235,13 @@ def make_train_fn(cfg: RunConfig, n_devices: Optional[int] = None):
         from lidal_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(jax.devices()[:n_dev])
+        # data arrays shard on their frame axis (axis 1 when a step axis leads)
+        dspec = P("data") if steps_per_call == 1 else P(None, "data")
         train_fn = jax.jit(
             shard_map(
                 step_all,
                 mesh=mesh,
-                in_specs=(P(), P("data"), P("data"), P("data"), P("data"), P("data"), P()),
+                in_specs=(P(), dspec, dspec, dspec, dspec, dspec, P()),
                 out_specs=(P(), P(), P()),
                 check_rep=False,
             )
@@ -232,23 +258,28 @@ def run_train(
     log_every: int = 50,
     on_step: Optional[Callable] = None,
     n_devices: Optional[int] = None,
+    steps_per_call: int = 1,
 ):
     """Train one round; returns the final TrainState.
 
     The global batch is ``cfg.data.batch_size`` frames PER DEVICE (matching the
     reference's per-GPU batch under DDP, ``sk_dataloader.py:21,39-42``).  With a
     caller-provided loader, the mesh shrinks to the largest device count that
-    divides its batch size."""
+    divides its batch size.  ``steps_per_call`` > 1 stacks that many prefetched
+    batches per dispatch and runs the optimizer loop on device (``lax.scan``) —
+    set it to a divisor of ``ckpt_every`` (e.g. 10) where host dispatch is the
+    bottleneck."""
     import math
 
     n_dev = n_devices if n_devices is not None else jax.device_count()
     if loader is not None:
         n_dev = math.gcd(loader.batch_size, n_dev)
-    model, tx, prep, train_fn = make_train_fn(cfg, n_dev)
+    model, tx, prep, train_fn = make_train_fn(cfg, n_dev, steps_per_call)
     paths = Paths(cfg)
     ensure_dir(paths.ckpt_dir())
     loader = loader or build_train_loader(cfg, batch_multiplier=n_dev)
     max_iter = max_iter if max_iter is not None else cfg.max_iter
+    k_steps = steps_per_call
 
     rng = jax.random.PRNGKey(cfg.seed)
     state = None
@@ -268,35 +299,69 @@ def run_train(
         break
     assert state is not None, "empty training set"
 
+    def batches():
+        nonlocal ep_id
+        while True:
+            loader.set_epoch(ep_id)
+            yielded = False
+            for b in loader:
+                yielded = True
+                yield b
+            ep_id += 1
+            if not yielded:
+                return
+
     step = int(state.step)
+    stream = batches()
+    tail_fn = None  # separate jit for a ragged final chunk (compiled at most once)
     while step < max_iter:
-        loader.set_epoch(ep_id)
-        for batch in loader:
+        k_eff = min(k_steps, max_iter - step)
+        chunk = []
+        for b in stream:
+            chunk.append(b)
+            if len(chunk) == k_eff:
+                break
+        if not chunk:
+            break
+        k_eff = len(chunk)
+        b0 = chunk[0]
+        # per-step key derivation matches the per-step path exactly, so
+        # steps_per_call does not change the training trajectory
+        keys_l, rngs_l = [], []
+        for _ in range(k_eff):
             rng, k1, k2 = jax.random.split(rng, 3)
-            keys = jax.random.split(k1, batch["xyz"].shape[0])
-            state, loss, ovf = train_fn(
-                state,
-                keys,
-                jnp.asarray(batch["xyz"]),
-                jnp.asarray(batch["sig"]),
-                jnp.asarray(batch["valid"]),
-                jnp.asarray(batch["labels"]),
-                k2,
-            )
-            trunc = batch.get("trunc_points", 0)
-            if trunc:
-                print(f"WARNING: point_cap truncated {trunc} points this batch")
+            keys_l.append(jax.random.split(k1, b0["xyz"].shape[0]))
+            rngs_l.append(k2)
+        keys = jnp.stack(keys_l)
+        rngs = jnp.stack(rngs_l)
+        args = [
+            jnp.asarray(np.stack([c[f] for c in chunk]))
+            for f in ("xyz", "sig", "valid", "labels")
+        ]
+        if k_eff == k_steps:
+            fn = train_fn
+        else:  # ragged final chunk: one extra compile per distinct size
+            if tail_fn is None or tail_fn[0] != k_eff:
+                tail_fn = (k_eff, make_train_fn(cfg, n_dev, k_eff)[3])
+            fn = tail_fn[1]
+        if k_eff == 1:
+            state, loss_v, ovf_v = fn(state, keys[0], *[a[0] for a in args], rngs[0])
+            loss_v = jnp.reshape(loss_v, (1,))
+            ovf_v = jnp.reshape(ovf_v, (1,))
+        else:
+            state, loss_v, ovf_v = fn(state, keys, *args, rngs)
+        trunc = sum(c.get("trunc_points", 0) for c in chunk)
+        if trunc:
+            print(f"WARNING: point_cap truncated {trunc} points this chunk")
+        for i in range(k_eff):
             step += 1
             if on_step is not None:
-                on_step(step, loss)
+                on_step(step, loss_v[i])
             if step % log_every == 0:
-                ovf_i = int(ovf)
+                ovf_i = int(ovf_v[i])
                 extra = f" voxel_overflow: {ovf_i}" if ovf_i else ""
-                print(f"Iteration: {step} loss: {float(loss):.4f}{extra}")
+                print(f"Iteration: {step} loss: {float(loss_v[i]):.4f}{extra}")
             if step % cfg.ckpt_every == 0:
                 ckpt.save_checkpoint(paths.ckpt_dir(), ckpt.device_get_state(state), ep_id)
-            if step >= max_iter:
-                break
-        ep_id += 1
     ckpt.save_checkpoint(paths.ckpt_dir(), ckpt.device_get_state(state), ep_id)
     return state

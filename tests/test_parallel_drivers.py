@@ -150,3 +150,39 @@ def test_overflow_counter_detects_capacity_saturation(tmp_path):
     keys = jax.random.split(jax.random.PRNGKey(0), 1)
     tb = prepare_train_batch(keys, xyz, sig, valid, labels, level_caps=data.level_caps)
     assert int(np.asarray(tb.overflow).sum()) > 0
+
+
+def test_multi_step_train_scan_matches_per_step(tmp_path):
+    """steps_per_call > 1 (on-device lax.scan over stacked batches) must follow
+    the same trajectory as per-step dispatch, including the ragged tail."""
+    import dataclasses as dc
+
+    from lidal_tpu.runtime.train_loop import run_train
+
+    def make(tag):
+        cfg = _cfg(os.path.join(str(tmp_path), tag))
+        xyz, sig, valid, labels = _points(4, seed=1)
+
+        def read_fn(i):
+            n = int(np.asarray(valid[i]).sum())
+            return (
+                np.asarray(xyz[i][:n]),
+                np.asarray(sig[i][:n]),
+                np.asarray(labels[i][:n]),
+            )
+
+        loader = FrameBatchLoader(
+            list(range(4)), read_fn, point_cap=P, batch_size=2, num_workers=1
+        )
+        return cfg, loader
+
+    cfg_a, loader_a = make("a")
+    s_a = run_train(cfg_a, loader=loader_a, max_iter=5, n_devices=1, steps_per_call=1)
+    cfg_b, loader_b = make("b")
+    s_b = run_train(cfg_b, loader=loader_b, max_iter=5, n_devices=1, steps_per_call=3)
+
+    assert int(s_a.step) == int(s_b.step) == 5
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_a.params), jax.tree_util.tree_leaves(s_b.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -24,13 +24,13 @@ grid = nn_match.build_grid(jnp.asarray(gxyz), jnp.asarray(gval), 0.1)
 pq = jax.jit(nn_match.prepare_queries, static_argnums=2)(jnp.asarray(qxyz), jnp.asarray(qval), 0.1)
 
 t0 = time.perf_counter()
-d1, s1, f1 = jax.jit(nm.nn_query_prepared)(grid, pq)
+d1, s1, f1, _ = jax.jit(nm.nn_query_prepared)(grid, pq)
 d1.block_until_ready()
 print("kernel compile+run", time.perf_counter() - t0, flush=True)
 
 orig = nm._use_scan_kernel
 nm._use_scan_kernel = lambda p, c: False
-d2, s2, f2 = jax.jit(nm.nn_query_prepared)(grid, pq)
+d2, s2, f2, _ = jax.jit(nm.nn_query_prepared)(grid, pq)
 d2.block_until_ready()
 nm._use_scan_kernel = orig
 d1, s1, f1, d2, s2, f2 = map(np.asarray, (d1, s1, f1, d2, s2, f2))
@@ -41,6 +41,6 @@ print("match frac:", float(f1.mean()), flush=True)
 
 def fn(i, qx, qv):
     pq2 = nn_match.prepare_queries(qx + (i & 1).astype(qx.dtype) * 1e-30, qv, 0.1)
-    d, s, f = nm.nn_query_prepared(grid, pq2)
+    d, s, f, _ = nm.nn_query_prepared(grid, pq2)
     return d
 print(f"nn_query (prep+bounds+scan): {device_time(fn, (qxyz, qval), iters=10):.2f} ms", flush=True)
