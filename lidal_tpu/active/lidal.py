@@ -21,6 +21,7 @@ loops are inherently serial host code operating on device-computed arrays.
 
 from __future__ import annotations
 
+import functools
 from typing import List, NamedTuple, Sequence
 
 import jax
@@ -62,7 +63,6 @@ def neighbor_ids(frame_id: int, num_frames: int, nei_num: int = NEI_NUM) -> List
     return [min(max(i, 0), num_frames - 1) for i in ids]
 
 
-@jax.jit
 def _accumulate_neighbor(
     q_prob: jnp.ndarray,  # [p, c]
     pq,  # PreparedQueries (cell-sorted once, shared by all neighbors)
@@ -72,8 +72,9 @@ def _accumulate_neighbor(
     interd: jnp.ndarray,
     map_count: jnp.ndarray,
     run_overflow: jnp.ndarray,
+    cand_per_cell: int = 6,
 ):
-    dist, nn_src, found, ovf = nn_query_prepared(grid, pq)
+    dist, nn_src, found, ovf = nn_query_prepared(grid, pq, cand_per_cell)
     match = found & (dist <= DIS_THRESH)
     npb = n_prob[nn_src]  # [p, c]
     qe = q_prob + EPSILON
@@ -97,8 +98,8 @@ def _finalize(sum_prob, interd, map_count):
     return interd, intere
 
 
-@jax.jit
-def _score_frame_device(q_prob, q_xyz, q_valid, nei_probs, grids):
+@functools.partial(jax.jit, static_argnames=("cand_per_cell",))
+def _score_frame_device(q_prob, q_xyz, q_valid, nei_probs, grids, cand_per_cell=6):
     """One dispatch per frame: lax.scan over the stacked 24 neighbor grids.
     The query cell-sort + probe keys are origin-free, so they are prepared once
     and shared by every neighbor."""
@@ -110,7 +111,7 @@ def _score_frame_device(q_prob, q_xyz, q_valid, nei_probs, grids):
 
     def body(carry, nei):
         n_prob, grid = nei
-        return _accumulate_neighbor(q_prob, pq, n_prob, grid, *carry), None
+        return _accumulate_neighbor(q_prob, pq, n_prob, grid, *carry, cand_per_cell), None
 
     (sum_prob, interd, map_count, ovf), _ = jax.lax.scan(
         body, (sum_prob0, interd0, map_count0, ovf0), (nei_probs, grids)
@@ -126,6 +127,15 @@ def stack_grids(grids: Sequence[HashGrid]) -> HashGrid:
     return jtu.tree_map(lambda *xs: jnp.stack(xs), *grids)
 
 
+# candidate-run cap ladder: the exact-NN guarantee.  A frame is first scored
+# with the cheap default cap; a non-zero overflow counter (host-visible) means
+# a probe's z-run held more candidates than the scan cap, so a dropped
+# candidate COULD have been the true nearest neighbor — the frame is re-scored
+# with a doubled cap until the count is zero.  Each rung compiles once per
+# process; real LiDAR at 0.1 m cells virtually never needs the second rung.
+CAND_LADDER = (6, 12, 24, 48, 96)
+
+
 def score_frame(
     q_prob: np.ndarray,  # [p, c] view-averaged probability map of the query frame
     q_xyz: np.ndarray,  # [p, 3] pose-registered (sequence-global) coords
@@ -133,6 +143,10 @@ def score_frame(
     nei_grids: Sequence[HashGrid],
 ):
     """Per-point inter-frame divergence + entropy against all neighbor frames.
+
+    Exact-NN guarantee: matches the reference KD-tree (``LiDAL.py:66``) for
+    every point — candidate-run overflow triggers a re-score with a doubled
+    scan cap (see ``CAND_LADDER``) until no candidate is dropped.
 
     ``nei_probs`` entries may be device arrays (the runner keeps a device-side
     LRU — consecutive frames share 22/24 neighbors, and re-uploading the ~10 MB
@@ -143,10 +157,21 @@ def score_frame(
     q_valid = jnp.ones(q_prob.shape[:1], bool)
     nei = jnp.stack([jnp.asarray(p, jnp.float32) for p in nei_probs])
     grids = stack_grids(list(nei_grids))
-    interd, intere, ovf = _score_frame_device(q_prob_j, q_xyz_j, q_valid, nei, grids)
-    if int(ovf):
-        print(f"WARNING: NN candidate-run overflow dropped {int(ovf)} candidates")
-    return np.asarray(interd), np.asarray(intere)
+    for i, cpc in enumerate(CAND_LADDER):
+        interd, intere, ovf = _score_frame_device(
+            q_prob_j, q_xyz_j, q_valid, nei, grids, cand_per_cell=cpc
+        )
+        if int(ovf) == 0:
+            return np.asarray(interd), np.asarray(intere)
+        if i + 1 < len(CAND_LADDER):
+            print(
+                f"WARNING: NN candidate-run overflow at cap {cpc} "
+                f"({int(ovf)} dropped) — re-scoring with cap {CAND_LADDER[i + 1]}"
+            )
+    raise RuntimeError(
+        f"NN candidate runs overflow even at cap {CAND_LADDER[-1]} "
+        f"({int(ovf)} dropped): pathological point density for 0.1 m cells"
+    )
 
 
 def sv_aggregate(

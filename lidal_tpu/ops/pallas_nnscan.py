@@ -153,7 +153,17 @@ def _make_kernel(run: int):
                     cands.append(cand)
                     in_blks.append((local >= 0) & (local < TN) & in_run)
                 onehot = jnp.concatenate(pieces, axis=0)  # [3*CHUNK*T, TN]
-                gx = jnp.dot(onehot, blk, preferred_element_type=jnp.float32)
+                # HIGHEST is mandatory: TPU DEFAULT runs f32 dots as ONE bf16
+                # pass, truncating the copied coordinates to bf16 (~0.01 m at
+                # 20 m — wrong NN picks).  Under the split-bf16 passes a 1.0 x
+                # x product reproduces x's f32 decomposition exactly, so the
+                # one-hot gather is bit-exact.
+                gx = jnp.dot(
+                    onehot,
+                    blk,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
                 nsl = NGROUP * CHUNK
                 gx3 = gx.reshape(nsl, TILE, 4)  # major-dim split: layout-legal
                 diff = gx3 - jnp.broadcast_to(q[None], (nsl, TILE, 4))

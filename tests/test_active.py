@@ -101,6 +101,38 @@ def test_score_frame_matches_scipy_oracle():
     np.testing.assert_allclose(intere, oe, rtol=2e-4, atol=2e-5)
 
 
+def test_score_frame_overflow_ladder_recovers_exactness(capsys):
+    """A saturated hash-grid cell overflows the default candidate cap;
+    score_frame must re-score with a doubled cap and still match the KD-tree
+    oracle exactly (VERDICT r2 #3: warn-and-drop is not parity)."""
+    rng = np.random.default_rng(11)
+    c = 5
+    n = 300
+    q_xyz = _cloud(rng, n, extent=2.0)
+    # dense cluster: ~70 neighbor points inside one 0.1 m cell column
+    q_xyz[:40] = np.array([1.0, 1.0, 1.0], np.float32) + rng.normal(
+        scale=0.02, size=(40, 3)
+    ).astype(np.float32)
+    q_prob = rng.dirichlet(np.ones(c), n).astype(np.float32)
+    nei_xyzs, nei_probs, grids = [], [], []
+    for k in range(2):
+        nx = q_xyz + rng.normal(scale=0.01, size=q_xyz.shape).astype(np.float32)
+        nx[:70] = np.array([1.0, 1.0, 1.0], np.float32) + rng.normal(
+            scale=0.02, size=(70, 3)
+        ).astype(np.float32)
+        npb = rng.dirichlet(np.ones(c), n).astype(np.float32)
+        nei_xyzs.append(nx)
+        nei_probs.append(npb)
+        grids.append(lidal.make_neighbor_grid(nx))
+    interd, intere = lidal.score_frame(q_prob, q_xyz, nei_probs, grids)
+    assert "overflow" in capsys.readouterr().out  # the ladder actually engaged
+    od, oe = _oracle_score(
+        q_prob.astype(np.float64), q_xyz, [p.astype(np.float64) for p in nei_probs], nei_xyzs
+    )
+    np.testing.assert_allclose(interd, od, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(intere, oe, rtol=2e-4, atol=2e-5)
+
+
 def test_neighbor_ids_reference_arithmetic():
     # middle of a long sequence: 12 before + 12 after
     ids = lidal.neighbor_ids(50, 1000)

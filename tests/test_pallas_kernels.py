@@ -1,0 +1,455 @@
+"""Interpret-mode parity tests for the three Pallas kernels.
+
+The kernels are gated off-TPU in production (``ops/conv.py``,
+``merge_lookup._pallas_ok``, ``nn_match._use_scan_kernel``); these tests run
+them through Pallas interpret mode on the CPU suite so a Mosaic-side regression
+cannot ship green.  Oracles:
+
+* ``pallas_conv``  vs the XLA im2col gather path (integer data -> bit-exact
+  despite the kernel's bf16 feature staging);
+* ``pallas_merge`` vs ``np.searchsorted`` and the XLA bitonic-merge path;
+* ``pallas_nnscan`` vs the XLA candidate-gather loop and a brute-force NN.
+"""
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lidal_tpu.ops.conv as conv_mod
+import lidal_tpu.ops.merge_lookup as ml
+import lidal_tpu.ops.pallas_conv as pconv
+import lidal_tpu.ops.pallas_merge as pmerge
+import lidal_tpu.ops.pallas_nnscan as pnnscan
+from lidal_tpu.active import nn_match
+from lidal_tpu.ops.hashing import SENTINEL_KEY
+
+# --------------------------------------------------------------------------------------
+# pallas_conv: banded gather-GEMM vs XLA im2col oracle
+# --------------------------------------------------------------------------------------
+
+
+def _int_feats(rng, n, c):
+    # small integers: every product/partial sum is exactly representable in
+    # bf16 (the kernel stages features/weights in bf16), so parity is exact
+    return rng.integers(-4, 5, size=(n, c)).astype(np.float32)
+
+
+def _sorted_nbr(rng, m, k, n, density):
+    """Per-column sorted index maps with sentinel (== n) entries, mimicking
+    rulebook columns (merge positions of sorted streams + sentinel tails)."""
+    nbr = np.full((m, k), n, np.int32)
+    for j in range(k):
+        cnt = int(m * density)
+        if cnt == 0:
+            continue  # fully-sentinel column: the group band may be empty
+        rows = np.sort(rng.choice(m, size=cnt, replace=False))
+        vals = np.sort(rng.choice(n, size=min(cnt, n), replace=False))
+        nbr[rows[: len(vals)], j] = vals
+    return nbr
+
+
+def _conv_oracle(feats, w, nbr):
+    fx = np.concatenate([feats, np.zeros((1, feats.shape[1]), np.float32)])
+    return np.einsum("mkc,kco->mo", fx[nbr], w)
+
+
+@pytest.mark.parametrize(
+    "seed,n,m,cin,cout,density",
+    [
+        (0, 256, 256, 8, 16, 0.9),
+        (1, 512, 256, 16, 8, 0.5),
+        (2, 256, 512, 8, 8, 0.1),
+        (3, 512, 512, 32, 16, 0.7),
+        (4, 256, 256, 8, 16, 0.0),  # all-sentinel: every band empty
+        (5, 768, 256, 8, 8, 1.0),
+        (6, 256, 768, 16, 16, 0.3),
+    ],
+)
+def test_pallas_conv_subm27_matches_oracle(seed, n, m, cin, cout, density):
+    rng = np.random.default_rng(seed)
+    k = 27
+    feats = _int_feats(rng, n, cin)
+    w = rng.integers(-4, 5, size=(k, cin, cout)).astype(np.float32)
+    nbr = _sorted_nbr(rng, m, k, n, density)
+    out = pconv.subm_conv_pallas(
+        jnp.asarray(feats), jnp.asarray(w), jnp.asarray(nbr), groups=3, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out), _conv_oracle(feats, w, nbr))
+
+
+@pytest.mark.parametrize(
+    "seed,n,m,cin,cout,density",
+    [
+        (10, 256, 256, 8, 16, 0.8),
+        (11, 512, 256, 16, 8, 0.4),
+        (12, 256, 512, 8, 8, 1.0),
+        (13, 512, 512, 8, 16, 0.05),
+    ],
+)
+def test_pallas_conv_downup8_matches_oracle(seed, n, m, cin, cout, density):
+    """kernel 8 / groups 2: the down/up conv (and their dX backward) shape."""
+    rng = np.random.default_rng(seed)
+    k = 8
+    feats = _int_feats(rng, n, cin)
+    w = rng.integers(-4, 5, size=(k, cin, cout)).astype(np.float32)
+    nbr = _sorted_nbr(rng, m, k, n, density)
+    out = pconv.subm_conv_pallas(
+        jnp.asarray(feats), jnp.asarray(w), jnp.asarray(nbr), groups=2, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out), _conv_oracle(feats, w, nbr))
+
+
+def test_pallas_conv_band_edges():
+    """Indices hugging block boundaries (0, TN-1, TN, n-1) and single-row bands."""
+    rng = np.random.default_rng(20)
+    n, m, cin, cout, k = 512, 256, 8, 8, 27
+    feats = _int_feats(rng, n, cin)
+    w = rng.integers(-2, 3, size=(k, cin, cout)).astype(np.float32)
+    nbr = np.full((m, k), n, np.int32)
+    edge_vals = [0, 1, 255, 256, 257, 510, 511]
+    for j in range(k):
+        rows = np.sort(rng.choice(m, size=len(edge_vals), replace=False))
+        nbr[rows, j] = np.sort(rng.permutation(edge_vals))
+    out = pconv.subm_conv_pallas(
+        jnp.asarray(feats), jnp.asarray(w), jnp.asarray(nbr), groups=3, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out), _conv_oracle(feats, w, nbr))
+
+
+def test_conv_ops_route_through_pallas(monkeypatch):
+    """subm/down/up_conv + their custom-VJP backwards through the (interpret)
+    Pallas path match the XLA path bit-for-bit on integer data."""
+    import jax
+
+    monkeypatch.setattr(
+        pconv, "subm_conv_pallas", functools.partial(pconv.subm_conv_pallas, interpret=True)
+    )
+    rng = np.random.default_rng(30)
+    n = m = 256
+    cin, cout = 8, 8
+
+    # subm (27 taps, groups 3)
+    feats = _int_feats(rng, n, cin)
+    w = rng.integers(-3, 4, size=(27, cin, cout)).astype(np.float32)
+    nbr = _sorted_nbr(rng, m, 27, n, 0.6)
+    dy = _int_feats(rng, m, cout)
+
+    def run(use_pallas):
+        monkeypatch.setattr(conv_mod, "USE_PALLAS", use_pallas)
+        out, vjp = jax.vjp(
+            lambda f, ww: conv_mod.subm_conv(f, ww, jnp.asarray(nbr)),
+            jnp.asarray(feats),
+            jnp.asarray(w),
+        )
+        df, dw = vjp(jnp.asarray(dy))
+        return np.asarray(out), np.asarray(df), np.asarray(dw)
+
+    o_p, df_p, dw_p = run(True)
+    o_x, df_x, dw_x = run(False)
+    np.testing.assert_array_equal(o_p, o_x)
+    np.testing.assert_array_equal(df_p, df_x)
+    np.testing.assert_array_equal(dw_p, dw_x)
+
+    # down + up (8 taps, groups 2) with a consistent (child, parent, pdelta)
+    nf = nc = 256
+    parent = np.full(nf, nc, np.int32)
+    pdelta = np.zeros(nf, np.int32)
+    child = np.full((nc, 8), nf, np.int32)
+    per_parent = {}
+    for f in sorted(rng.choice(nf, size=180, replace=False)):
+        p_ = int(rng.integers(0, nc))
+        d_ = per_parent.setdefault(p_, [])
+        if len(d_) < 8:
+            parent[f] = p_
+            pdelta[f] = len(d_)
+            d_.append(f)
+    for p_, fs in per_parent.items():
+        for d_, f in enumerate(fs):
+            child[p_, d_] = f
+    child = np.sort(child, axis=0)  # columns sorted, as the plan builder emits
+    # re-derive (parent, pdelta) from the sorted child map so they stay paired
+    parent = np.full(nf, nc, np.int32)
+    pdelta = np.zeros(nf, np.int32)
+    for p_ in range(nc):
+        for d_ in range(8):
+            f = child[p_, d_]
+            if f < nf:
+                parent[f] = p_
+                pdelta[f] = d_
+
+    xf = _int_feats(rng, nf, cin)
+    wd = rng.integers(-3, 4, size=(8, cin, cout)).astype(np.float32)
+    dyc = _int_feats(rng, nc, cout)
+
+    def run_down(use_pallas):
+        monkeypatch.setattr(conv_mod, "USE_PALLAS", use_pallas)
+        out, vjp = jax.vjp(
+            lambda f, ww: conv_mod.down_conv(
+                f, ww, jnp.asarray(child), jnp.asarray(parent), jnp.asarray(pdelta)
+            ),
+            jnp.asarray(xf),
+            jnp.asarray(wd),
+        )
+        df, dw = vjp(jnp.asarray(dyc))
+        return np.asarray(out), np.asarray(df), np.asarray(dw)
+
+    for a, b in zip(run_down(True), run_down(False)):
+        np.testing.assert_array_equal(a, b)
+
+    xc = _int_feats(rng, nc, cin)
+    dyf = _int_feats(rng, nf, cout)
+
+    def run_up(use_pallas):
+        monkeypatch.setattr(conv_mod, "USE_PALLAS", use_pallas)
+        out, vjp = jax.vjp(
+            lambda f, ww: conv_mod.up_conv(
+                f, ww, jnp.asarray(child), jnp.asarray(parent), jnp.asarray(pdelta)
+            ),
+            jnp.asarray(xc),
+            jnp.asarray(wd),
+        )
+        df, dw = vjp(jnp.asarray(dyf))
+        return np.asarray(out), np.asarray(df), np.asarray(dw)
+
+    for a, b in zip(run_up(True), run_up(False)):
+        np.testing.assert_array_equal(a, b)
+
+
+# --------------------------------------------------------------------------------------
+# pallas_merge: bitonic merge-rank vs searchsorted + the XLA merge path
+# --------------------------------------------------------------------------------------
+
+
+@pytest.fixture
+def pallas_merge_on(monkeypatch):
+    monkeypatch.setattr(
+        pmerge, "merge_rank_pallas", functools.partial(pmerge.merge_rank_pallas, interpret=True)
+    )
+    monkeypatch.setattr(ml, "USE_PALLAS", True)
+    yield
+    monkeypatch.setattr(ml, "USE_PALLAS", None)
+
+
+def _sorted_keys(rng, n, cap, lo_range=1 << 12):
+    """[cap] sorted UNIQUE (hi, lo) int32 key arrays with a sentinel tail."""
+    hi = rng.integers(0, 50, size=n).astype(np.int64)
+    lo = rng.integers(0, lo_range, size=n).astype(np.int64)
+    packed = np.unique(hi * lo_range + lo)[: cap]
+    hi = (packed // lo_range).astype(np.int32)
+    lo = (packed % lo_range).astype(np.int32)
+    pad = cap - len(hi)
+    hi = np.concatenate([hi, np.full(pad, SENTINEL_KEY, np.int32)])
+    lo = np.concatenate([lo, np.full(pad, SENTINEL_KEY, np.int32)])
+    return hi, lo
+
+
+def _lb_oracle(t_hi, t_lo, q_hi, q_lo):
+    """Lower bound of each (hi, lo) query in the lexicographic table order."""
+    tt = t_hi.astype(np.int64) * (1 << 32) + (t_lo.astype(np.int64) & 0xFFFFFFFF)
+    qq = q_hi.astype(np.int64) * (1 << 32) + (q_lo.astype(np.int64) & 0xFFFFFFFF)
+    return np.searchsorted(tt, qq, side="left").astype(np.int32)
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("shape", [(200, 120), (256, 256), (500, 300), (90, 600)])
+def test_pallas_merge_lower_bound_matches_searchsorted(pallas_merge_on, seed, shape):
+    n, m = shape
+    rng = np.random.default_rng(seed)
+    t_hi, t_lo = _sorted_keys(rng, n, n)
+    g = 3
+    q_hi = np.empty((g, m), np.int32)
+    q_lo = np.empty((g, m), np.int32)
+    for gi in range(g):
+        nq = m - rng.integers(0, m // 3)  # sentinel tails of varying length
+        qh, qlo = _sorted_keys(rng, nq, m)
+        q_hi[gi], q_lo[gi] = qh, qlo
+    got = np.asarray(
+        ml.lower_bound_sorted_many(
+            jnp.asarray(t_hi), jnp.asarray(t_lo), jnp.asarray(q_hi), jnp.asarray(q_lo)
+        )
+    )
+    for gi in range(g):
+        real = q_hi[gi] != SENTINEL_KEY
+        oracle = _lb_oracle(t_hi[: np.sum(t_hi != SENTINEL_KEY)], t_lo[: np.sum(t_hi != SENTINEL_KEY)], q_hi[gi], q_lo[gi])
+        np.testing.assert_array_equal(got[gi][real], oracle[real])
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_pallas_merge_lookup_found_matches_xla(seed):
+    """with_found path (unique queries): Pallas kernel == XLA merge, bit-for-bit,
+    including misses (-> n) and sentinel handling."""
+    rng = np.random.default_rng(100 + seed)
+    n, cap, m = 300, 384, 384
+    t_hi, t_lo = _sorted_keys(rng, n, cap)
+    # unique strictly-increasing query keys: a constant offset of the table
+    # (the rulebook pattern) plus sentinel tail
+    d_hi, d_lo = 1, 7
+    q_hi = np.where(t_hi[:m] != SENTINEL_KEY, t_hi[:m] + d_hi, SENTINEL_KEY).astype(np.int32)
+    q_lo = np.where(t_hi[:m] != SENTINEL_KEY, t_lo[:m] + d_lo, SENTINEL_KEY).astype(np.int32)
+
+    def run(use_pallas):
+        import unittest.mock as mock
+
+        with mock.patch.object(ml, "USE_PALLAS", use_pallas), mock.patch.object(
+            pmerge,
+            "merge_rank_pallas",
+            functools.partial(pmerge.merge_rank_pallas, interpret=True),
+        ):
+            return np.asarray(
+                ml.lookup_sorted_many(
+                    jnp.asarray(t_hi),
+                    jnp.asarray(t_lo),
+                    jnp.asarray(q_hi)[None],
+                    jnp.asarray(q_lo)[None],
+                    unique_queries=True,
+                )[0]
+            )
+
+    np.testing.assert_array_equal(run(True), run(False))
+
+
+def test_pallas_merge_grouped_tables(pallas_merge_on):
+    """Per-stream tables (the 24-neighbor fusion shape): each stream's result
+    matches its own searchsorted oracle."""
+    rng = np.random.default_rng(7)
+    s, n, m = 5, 256, 256
+    t_hi = np.empty((s, n), np.int32)
+    t_lo = np.empty((s, n), np.int32)
+    q_hi = np.empty((s, m), np.int32)
+    q_lo = np.empty((s, m), np.int32)
+    for si in range(s):
+        t_hi[si], t_lo[si] = _sorted_keys(rng, n - rng.integers(0, 100), n)
+        q_hi[si], q_lo[si] = _sorted_keys(rng, m - rng.integers(0, 100), m)
+    got = np.asarray(
+        ml.lower_bound_sorted_grouped(
+            jnp.asarray(t_hi), jnp.asarray(t_lo), jnp.asarray(q_hi), jnp.asarray(q_lo)
+        )
+    )
+    for si in range(s):
+        nt = int(np.sum(t_hi[si] != SENTINEL_KEY))
+        real = q_hi[si] != SENTINEL_KEY
+        oracle = _lb_oracle(t_hi[si][:nt], t_lo[si][:nt], q_hi[si], q_lo[si])
+        np.testing.assert_array_equal(got[si][real], oracle[real])
+
+
+def test_pallas_merge_empty_and_duplicate_keys(pallas_merge_on):
+    # empty table: every lower bound is 0
+    t_hi = np.full(128, SENTINEL_KEY, np.int32)
+    t_lo = np.full(128, SENTINEL_KEY, np.int32)
+    q_hi = np.sort(np.random.default_rng(8).integers(0, 40, 128)).astype(np.int32)
+    q_lo = np.zeros(128, np.int32)
+    got = np.asarray(
+        ml.lower_bound_sorted_many(
+            jnp.asarray(t_hi), jnp.asarray(t_lo), jnp.asarray(q_hi[None]), jnp.asarray(q_lo[None])
+        )[0]
+    )
+    assert (got == 0).all()
+    # heavy duplicates in both table and queries
+    t_hi2 = np.sort(np.array([3] * 40 + [7] * 40 + [9] * 48, np.int32))
+    t_lo2 = np.zeros(128, np.int32)
+    q_hi2 = np.sort(np.array([3] * 30 + [5] * 30 + [9] * 68, np.int32))
+    q_lo2 = np.zeros(128, np.int32)
+    got2 = np.asarray(
+        ml.lower_bound_sorted_many(
+            jnp.asarray(t_hi2), jnp.asarray(t_lo2), jnp.asarray(q_hi2[None]), jnp.asarray(q_lo2[None])
+        )[0]
+    )
+    np.testing.assert_array_equal(got2, _lb_oracle(t_hi2, t_lo2, q_hi2, q_lo2))
+
+
+# --------------------------------------------------------------------------------------
+# pallas_nnscan: banded candidate scan vs the XLA gather loop + brute force
+# --------------------------------------------------------------------------------------
+
+
+@pytest.fixture
+def pallas_nnscan_on(monkeypatch):
+    monkeypatch.setattr(
+        pnnscan, "nn_scan_pallas", functools.partial(pnnscan.nn_scan_pallas, interpret=True)
+    )
+    monkeypatch.setattr(nn_match, "_use_scan_kernel", lambda p, cap: True)
+
+
+def _nn_pair(rng, p, cap, n_nei, n_q, extent, cluster=None):
+    nei = (rng.random((cap, 3)) * extent).astype(np.float32)
+    q = (rng.random((p, 3)) * extent).astype(np.float32)
+    if cluster is not None:
+        k, radius = cluster
+        center = np.full(3, extent / 2, np.float32)
+        nei[:k] = center + rng.normal(scale=radius, size=(k, 3)).astype(np.float32)
+        q[: k // 2] = center + rng.normal(scale=radius, size=(k // 2, 3)).astype(np.float32)
+    nv = np.zeros(cap, bool)
+    nv[:n_nei] = True
+    qv = np.zeros(p, bool)
+    qv[:n_q] = True
+    return nei, nv, q, qv
+
+
+def _brute_nn(nei, nv, q, qv, thresh):
+    d2 = np.sum((q[:, None, :].astype(np.float64) - nei[None].astype(np.float64)) ** 2, axis=2)
+    d2[:, ~nv] = np.inf
+    idx = np.argmin(d2, axis=1)
+    dist = np.sqrt(d2[np.arange(len(q)), idx])
+    match = qv & (dist <= thresh)
+    return dist, idx, match
+
+
+@pytest.mark.parametrize(
+    "seed,p,cap,n_nei,n_q,extent",
+    [
+        (0, 256, 256, 256, 256, 4.0),
+        (1, 256, 512, 400, 200, 3.0),  # sentinel tails both sides
+        (2, 512, 256, 100, 512, 6.0),  # sparse table, many empty runs
+        (3, 512, 512, 512, 512, 2.0),  # dense: multi-candidate runs
+        (4, 256, 256, 0, 256, 4.0),  # empty table
+        (5, 256, 256, 256, 0, 4.0),  # no valid queries
+        (6, 512, 512, 512, 512, 40.0),  # spread out: almost no matches
+    ],
+)
+def test_nnscan_kernel_matches_xla_fallback(pallas_nnscan_on, seed, p, cap, n_nei, n_q, extent):
+    rng = np.random.default_rng(seed)
+    nei, nv, q, qv = _nn_pair(rng, p, cap, n_nei, n_q, extent)
+    grid = nn_match.build_grid(jnp.asarray(nei), jnp.asarray(nv), cell=0.1)
+    pq = nn_match.prepare_queries(jnp.asarray(q), jnp.asarray(qv), cell=0.1)
+    k_d, k_src, k_f, k_ovf = nn_match.nn_query_prepared(grid, pq)
+    x_d, x_src, x_f, x_ovf = (
+        np.asarray(a) for a in _xla_nn_query(grid, pq)
+    )
+    np.testing.assert_array_equal(np.asarray(k_f), x_f)
+    np.testing.assert_allclose(np.asarray(k_d)[x_f], x_d[x_f], rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(k_src)[x_f], x_src[x_f])
+    assert int(k_ovf) == int(x_ovf)
+    # and against brute force where no overflow occurred
+    if int(k_ovf) == 0 and n_nei and n_q:
+        bd, bi, bm = _brute_nn(nei, nv, q, qv, 0.1)
+        got_m = np.asarray(k_f) & (np.asarray(k_d) <= 0.1)
+        np.testing.assert_array_equal(got_m, bm)
+        np.testing.assert_allclose(np.asarray(k_d)[bm], bd[bm], rtol=1e-5, atol=1e-6)
+
+
+def _xla_nn_query(grid, pq, cand_per_cell=6):
+    """Force the XLA fallback path regardless of monkeypatched gating."""
+    import unittest.mock as mock
+
+    with mock.patch.object(nn_match, "_use_scan_kernel", lambda p, c: False):
+        return nn_match.nn_query_prepared(grid, pq, cand_per_cell)
+
+
+def test_nnscan_kernel_dense_cluster_overflow_parity(pallas_nnscan_on):
+    """A saturated cell: kernel and XLA fallback agree on results AND on the
+    overflow count; a raised cap removes the overflow and matches brute force."""
+    rng = np.random.default_rng(40)
+    p = cap = 256
+    nei, nv, q, qv = _nn_pair(rng, p, cap, 256, 256, 2.0, cluster=(80, 0.02))
+    grid = nn_match.build_grid(jnp.asarray(nei), jnp.asarray(nv), cell=0.1)
+    pq = nn_match.prepare_queries(jnp.asarray(q), jnp.asarray(qv), cell=0.1)
+    _, _, _, ovf6 = nn_match.nn_query_prepared(grid, pq, 6)
+    assert int(ovf6) > 0  # the cluster saturates the default cap
+    d, src, f, ovf = nn_match.nn_query_prepared(grid, pq, 96)
+    assert int(ovf) == 0
+    bd, bi, bm = _brute_nn(nei, nv, q, qv, 0.1)
+    got_m = np.asarray(f) & (np.asarray(d) <= 0.1)
+    np.testing.assert_array_equal(got_m, bm)
+    np.testing.assert_allclose(np.asarray(d)[bm], bd[bm], rtol=1e-5, atol=1e-6)
