@@ -184,8 +184,7 @@ def import_torch_command(cfg: RunConfig, pt_path: str) -> None:
     from lidal_tpu.runtime.paths import ensure_dir
     from lidal_tpu.runtime.train import TrainState, make_optimizer
 
-    assert not cfg.is_spvcnn, "torch import currently supports MinkUNet checkpoints"
-    variables, iteration, ep_id = load_torch_checkpoint(pt_path)
+    variables, iteration, ep_id = load_torch_checkpoint(pt_path, spvcnn=cfg.is_spvcnn)
     tx = make_optimizer()
     params = jax.tree_util.tree_map(jnp.asarray, variables["params"])
     state = TrainState(

@@ -282,22 +282,22 @@ def run_train(
     k_steps = steps_per_call
 
     rng = jax.random.PRNGKey(cfg.seed)
-    state = None
-    ep_id = 0
-    for batch in loader:
-        rng, sub = jax.random.split(rng)
-        keys = jax.random.split(sub, batch["xyz"].shape[0])
-        tb = prep(
-            keys,
-            jnp.asarray(batch["xyz"]),
-            jnp.asarray(batch["sig"]),
-            jnp.asarray(batch["valid"]),
-            jnp.asarray(batch["labels"]),
-        )
-        state = init_state(model, jax.random.PRNGKey(cfg.seed), tb, tx)
-        state, ep_id = ckpt.resume_or_warm_start(paths, state)
-        break
-    assert state is not None, "empty training set"
+    assert len(loader.files) > 0, "empty training set"
+    # Shape-init from an all-invalid zero batch built from loader metadata —
+    # flax init only consumes shapes/dtypes, so no real batch is consumed and
+    # the first epoch starts from its first frame (round-2 leftover: the old
+    # path burned batch 0 for init and then restarted the epoch).
+    bsz, cap = loader.batch_size, loader.point_cap
+    init_keys = jax.random.split(jax.random.PRNGKey(cfg.seed), bsz)
+    tb = prep(
+        init_keys,
+        jnp.zeros((bsz, cap, 3), jnp.float32),
+        jnp.zeros((bsz, cap), jnp.float32),
+        jnp.zeros((bsz, cap), bool),
+        jnp.full((bsz, cap), 255, jnp.int32),
+    )
+    state = init_state(model, jax.random.PRNGKey(cfg.seed), tb, tx)
+    state, ep_id = ckpt.resume_or_warm_start(paths, state)
 
     def batches():
         nonlocal ep_id

@@ -21,8 +21,15 @@ TEST_CAPS = (1024, 1024, 512, 256, 64)
 TEST_POINT_CAP = 1024
 
 
-def make_mini_sk(root: str, seqs=("00", "01"), frames_per_seq=6, points=700, seed=0):
-    """Create sequences/{seq}/velodyne/NNNNNN.bin + labels + calib.txt + poses.txt."""
+def make_mini_sk(root: str, seqs=("00", "01"), frames_per_seq=6, points=700, seed=0,
+                 separable=False):
+    """Create sequences/{seq}/velodyne/NNNNNN.bin + labels + calib.txt + poses.txt.
+
+    ``separable=True`` writes a LEARNABLE 2-class labeling instead of random
+    labels: class is determined by height (z < 0 -> road id 40, else building
+    id 50) and the intensity channel carries the class (0.2 vs 0.8 + noise) —
+    augmentation never touches intensity, so a correctly-wired train/eval path
+    must reach high mIoU in a few hundred steps (tests/test_learning.py)."""
     rng = np.random.default_rng(seed)
     seq_root = os.path.join(root, "sequences")
     for seq in seqs:
@@ -36,12 +43,17 @@ def make_mini_sk(root: str, seqs=("00", "01"), frames_per_seq=6, points=700, see
             # overlapping structured scene translated per frame (ego motion 0.5m/frame)
             base = rng.random((n, 3)).astype(np.float32) * np.array([20, 20, 2], np.float32)
             xyz = base - np.array([10, 10, 1], np.float32)
-            sig = rng.random(n).astype(np.float32)
+            if separable:
+                cls_b = xyz[:, 2] >= 0.0
+                sig = (0.2 + 0.6 * cls_b + 0.1 * rng.standard_normal(n)).astype(np.float32)
+                labels = np.where(cls_b, 50, 40).astype(np.uint32)
+            else:
+                sig = rng.random(n).astype(np.float32)
+                labels = RAW_IDS[rng.integers(0, len(RAW_IDS), n)].astype(np.uint32)
+                # sprinkle some ignore/outlier ids
+                labels[rng.random(n) < 0.05] = 0
             raw = np.concatenate([xyz, sig[:, None]], 1).astype(np.float32)
             raw.tofile(os.path.join(vdir, f"{fi:06d}.bin"))
-            labels = RAW_IDS[rng.integers(0, len(RAW_IDS), n)].astype(np.uint32)
-            # sprinkle some ignore/outlier ids
-            labels[rng.random(n) < 0.05] = 0
             labels.tofile(os.path.join(ldir, f"{fi:06d}.label"))
             # camera-frame pose: translation along x grows with frame id
             p = np.eye(4)

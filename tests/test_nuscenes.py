@@ -121,8 +121,11 @@ def test_quaternion_rotation_roundtrip():
 
 
 def test_splits_fallback(tmp_path):
+    import pytest
+
     names = [f"scene-{i:04d}" for i in range(20)]
-    tr, va = nu.load_splits(names)
+    with pytest.warns(UserWarning, match="85/15"):
+        tr, va = nu.load_splits(names)
     assert len(tr) == 17 and len(va) == 3
     sp = {"train": names[:5], "val": names[5:8]}
     p = str(tmp_path / "splits.json")
