@@ -5,10 +5,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The timed quantity is end-to-end single-chip inference of new frames — on-device
 augment + voxelize + multi-level kernel-map (plan) build + MinkUNet forward —
 i.e. the same work the reference does per frame with torchsparse (which also
-rebuilds kernel maps per batch).  ``vs_baseline`` is measured against an estimated
-reference GPU throughput of 1.2e6 points/s (MinkUNet + torchsparse 1.4 on a
-2080Ti-class GPU runs SemanticKITTI val at ~10 frames/s x ~120k pts; the repo
-publishes no numbers — BASELINE.md).  North star: >= 5x => vs_baseline >= 5.
+rebuilds kernel maps per batch).  A second line reports SPVCNN (BASELINE
+config 2) and a third the LiDAL scoring stage.
+
+``vs_baseline`` divides by an ESTIMATED reference GPU throughput of 1.2e6
+points/s.  Provenance + error bar (the repo publishes no numbers, BASELINE.md):
+public MinkUNet/SPVCNN benchmarks on torchsparse 1.4-era CUDA report ~80-140 ms
+per SemanticKITTI val batch of ~120k-point frames on a 2080Ti-class GPU
+(~8-15 frames/s), i.e. ~1.0e6-1.8e6 points/s depending on GPU and measurement
+scope; 1.2e6 is the midpoint of the conservative end.  Treat vs_baseline with
+a +-30% error bar; the s/frame LiDAL scoring line is measured, not estimated.
+North star: >= 5x => vs_baseline >= 5.
 """
 
 from __future__ import annotations
@@ -105,31 +112,86 @@ def main() -> None:
 
     pts_per_sec = B * n_pts * iters / dt
 
-    # ---- second headline metric: LiDAL inter-frame scoring (frames/s) ----
-    # One frame vs 24 pose-registered neighbors, production pattern: neighbor
-    # grids + prob maps device-resident (the runner's sliding-window LRU).
-    from lidal_tpu.active import lidal
+    # ---- second line: SPVCNN e2e inference (BASELINE config 2) ----
+    from lidal_tpu.models import SPVCNN
 
-    NEI, C = 24, 19
-    q_xyz = np.zeros((P, 3), np.float32)
-    q_xyz[:n_pts] = synthetic_sk_frame(rng, n_pts)[0]
-    q_prob = np.zeros((P, C), np.float32)
-    q_prob[:n_pts] = rng.dirichlet(np.ones(C), n_pts).astype(np.float32)
-    nei_probs, nei_grids = [], []
-    for i in range(NEI):
-        nxyz, _ = synthetic_sk_frame(rng, n_pts)
-        nxyz = nxyz + np.array([0.8 * (i - NEI // 2), 0.0, 0.0], np.float32)
-        nprob = np.zeros((P, C), np.float32)
-        nprob[:n_pts] = rng.dirichlet(np.ones(C), n_pts).astype(np.float32)
-        nei_probs.append(jnp.asarray(nprob))
-        nei_grids.append(lidal.make_neighbor_grid(nxyz, cap=P))
-    lidal.score_frame(q_prob, q_xyz, nei_probs, nei_grids)  # compile + drain
+    spv = SPVCNN(num_classes=19)
+
+    def infer_spv(variables, keys):
+        eb = prepare_eval_batch(keys, xyz_j, sig_j, valid_j, level_caps=caps, with_points=True)
+        logits, _ = spv.apply(variables, eb.feats, eb.plan, eb.pplan, train=False)
+        return logits
+
+    eb0s = prepare_eval_batch(keys, xyz_j, sig_j, valid_j, level_caps=caps, with_points=True)
+    vars_spv = jax.jit(spv.init, static_argnames=("train",))(
+        jax.random.PRNGKey(1), eb0s.feats, eb0s.plan, eb0s.pplan, train=False
+    )
+
+    @jax.jit
+    def run_iters_spv(variables, seed):
+        def step(carry, i):
+            k = jax.random.split(jax.random.fold_in(seed, i), B)
+            return carry + infer_spv(variables, k).sum(), None
+
+        acc, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(iters))
+        return acc
+
+    float(run_iters_spv(vars_spv, jax.random.PRNGKey(2)))  # compile + drain
+    t0 = time.perf_counter()
+    acc = float(run_iters_spv(vars_spv, jax.random.PRNGKey(3)))
+    assert acc == acc
+    spv_pts_per_sec = B * n_pts * iters / (time.perf_counter() - t0)
+
+    # ---- third headline metric: LiDAL inter-frame scoring (frames/s) ----
+    # Production (ring-runner) pattern on ONE chip: neighbor grids + grid-sorted
+    # prob maps device-resident in a 24-slot ring; per frame the sliding window
+    # replaces 2 slots (in-place donated writes) and scoring is one band-NN
+    # kernel launch + KL accumulation.  Steady state measured over K frames
+    # including the 2 ring writes + query upload each.
+    from lidal_tpu.active import lidal
+    from lidal_tpu.active.lidal_runner import NeighborRing
+
+    NEI, C, K = 24, 19, 4
+    n_frames = NEI + 2 + 3 * K
+
+    def synth_entry(i):
+        nxyz = synthetic_sk_frame(rng, n_pts)[0] + np.array(
+            [0.8 * (i - NEI // 2), 0.0, 0.0], np.float32
+        )
+        nprob = rng.dirichlet(np.ones(C), n_pts).astype(np.float32)
+        return nxyz, nprob
+
+    frames = [synth_entry(i) for i in range(n_frames)]
+    ring = NeighborRing(NEI + 2, P)
+
+    def warm(fi):
+        ring.ensure([fi] + lidal.neighbor_ids(fi, n_frames), lambda k: frames[k])
+
+    def dispatch(fi):
+        """Steady-state frame: the query is ring-resident (zero upload);
+        ensure() transfers only the one frame entering the window."""
+        warm(fi)
+        w = jnp.asarray(ring.weights(lidal.neighbor_ids(fi, n_frames)))
+        return lidal.score_slot(ring.state, ring.key2slot[fi], w)
+
+    f0 = NEI // 2
+    interd, _ = dispatch(f0)  # compile + warm the ring
+    assert np.isfinite(np.asarray(interd)[:n_pts]).all()
     best = None
-    for _ in range(2):
+    for rep in range(2):
+        # the window keeps sliding forward: every measured frame does the
+        # production steady-state work (1 new-neighbor upload + 1 ring write +
+        # 1 score dispatch + 1 result pull), pipelined one frame deep
         t0 = time.perf_counter()
-        interd, _ = lidal.score_frame(q_prob, q_xyz, nei_probs, nei_grids)
+        pending = None
+        for fi in range(f0 + 1 + rep * K, f0 + 1 + (rep + 1) * K):
+            out = dispatch(fi)
+            if pending is not None:
+                np.asarray(pending[0])
+            pending = out
+        interd = np.asarray(pending[0])
         assert np.isfinite(interd[:n_pts]).all()
-        best = min(best or 1e9, time.perf_counter() - t0)
+        best = min(best or 1e9, (time.perf_counter() - t0) / K)
     frames_per_sec = 1.0 / best
 
     print(
@@ -139,6 +201,7 @@ def main() -> None:
                 "value": round(pts_per_sec, 1),
                 "unit": "points/s",
                 "vs_baseline": round(pts_per_sec / REFERENCE_POINTS_PER_SEC, 3),
+                "spvcnn_points_per_sec": round(spv_pts_per_sec, 1),
                 "lidal_scoring_frames_per_sec": round(frames_per_sec, 3),
                 "lidal_scoring_s_per_frame": round(best, 3),
             }

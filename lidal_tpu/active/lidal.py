@@ -31,8 +31,9 @@ import numpy as np
 from lidal_tpu.active.nn_match import (
     HashGrid,
     build_grid,
-    nn_query_prepared,
+    nn_query_band,
     prepare_queries,
+    stack_grids,
 )
 
 EPSILON = 1e-5  # reference LiDAL.py:64
@@ -63,31 +64,6 @@ def neighbor_ids(frame_id: int, num_frames: int, nei_num: int = NEI_NUM) -> List
     return [min(max(i, 0), num_frames - 1) for i in ids]
 
 
-def _accumulate_neighbor(
-    q_prob: jnp.ndarray,  # [p, c]
-    pq,  # PreparedQueries (cell-sorted once, shared by all neighbors)
-    n_prob: jnp.ndarray,  # [m, c] neighbor prob rows in ORIGINAL point order
-    grid: HashGrid,
-    sum_prob: jnp.ndarray,
-    interd: jnp.ndarray,
-    map_count: jnp.ndarray,
-    run_overflow: jnp.ndarray,
-    cand_per_cell: int = 6,
-):
-    dist, nn_src, found, ovf = nn_query_prepared(grid, pq, cand_per_cell)
-    match = found & (dist <= DIS_THRESH)
-    npb = n_prob[nn_src]  # [p, c]
-    qe = q_prob + EPSILON
-    ne = npb + EPSILON
-    # scipy.special.kl_div(x, y) = x*log(x/y) - x + y, summed over classes (LiDAL.py:71)
-    kl = jnp.sum(qe * jnp.log(qe / ne) - qe + ne, axis=-1)
-    mf = match.astype(q_prob.dtype)[:, None]
-    sum_prob = sum_prob + npb * mf
-    interd = interd + jnp.where(match, kl, 0.0)
-    map_count = map_count + match.astype(map_count.dtype)
-    return sum_prob, interd, map_count, run_overflow + ovf
-
-
 @jax.jit
 def _finalize(sum_prob, interd, map_count):
     """LiDAL.py:74-81: entropy of view/neighbor-averaged prob; mean divergence."""
@@ -98,42 +74,82 @@ def _finalize(sum_prob, interd, map_count):
     return interd, intere
 
 
-@functools.partial(jax.jit, static_argnames=("cand_per_cell",))
-def _score_frame_device(q_prob, q_xyz, q_valid, nei_probs, grids, cand_per_cell=6):
-    """One dispatch per frame: lax.scan over the stacked 24 neighbor grids.
-    The query cell-sort + probe keys are origin-free, so they are prepared once
-    and shared by every neighbor."""
-    pq = prepare_queries(q_xyz, q_valid, DIS_THRESH)
-    sum_prob0 = q_prob  # LiDAL.py:63: starts as the query prob copy
-    interd0 = jnp.zeros(q_prob.shape[:1], jnp.float32)
-    map_count0 = jnp.ones(q_prob.shape[:1], jnp.float32)  # LiDAL.py:61
-    ovf0 = jnp.zeros((), jnp.int32)
+def _accumulate_and_unsort(pq, q_prob_s, nei_probs, grids, weights):
+    """Band NN over all stacked slots (ONE kernel launch) + lax.scan KL/entropy
+    accumulation per slot; results unsorted back to original point order.
+
+    ``weights`` carries per-slot multiplicity (the reference's end-of-sequence
+    neighbor reflection can list the same frame twice — LiDAL.py:41-42; unused
+    ring slots ride at weight 0).
+
+    Exact-NN guarantee: the band scan has no candidate caps (see
+    ``ops/pallas_nnband.py``), so matches reproduce the reference KD-tree
+    (``LiDAL.py:66``) for every point, with no overflow or re-scoring."""
+    d2_all, row_all = nn_query_band(grids, pq)  # [S, p] in sorted query order
+    cap = grids.src_idx.shape[1]
+
+    sum_prob0 = q_prob_s  # LiDAL.py:63: starts as the query prob copy
+    interd0 = jnp.zeros(q_prob_s.shape[:1], jnp.float32)
+    map_count0 = jnp.ones(q_prob_s.shape[:1], jnp.float32)  # LiDAL.py:61
+    qe = q_prob_s + EPSILON
+    log_qe = jnp.log(qe)
 
     def body(carry, nei):
-        n_prob, grid = nei
-        return _accumulate_neighbor(q_prob, pq, n_prob, grid, *carry, cand_per_cell), None
+        sum_prob, interd, map_count = carry
+        d2, row, n_prob, w = nei
+        dist = jnp.sqrt(d2)
+        match = (dist <= DIS_THRESH) & pq.s_ok
+        npb = n_prob[jnp.minimum(row, cap - 1)]  # [p, c]; n_prob is grid-sorted
+        ne = npb + EPSILON
+        # scipy.special.kl_div(x, y) = x*log(x/y) - x + y, over classes (LiDAL.py:71)
+        kl = jnp.sum(qe * (log_qe - jnp.log(ne)) - qe + ne, axis=-1)
+        wf = jnp.where(match, w.astype(jnp.float32), 0.0)
+        sum_prob = sum_prob + npb * wf[:, None]
+        interd = interd + wf * kl
+        map_count = map_count + wf
+        return (sum_prob, interd, map_count), None
 
-    (sum_prob, interd, map_count, ovf), _ = jax.lax.scan(
-        body, (sum_prob0, interd0, map_count0, ovf0), (nei_probs, grids)
+    (sum_prob, interd, map_count), _ = jax.lax.scan(
+        body,
+        (sum_prob0, interd0, map_count0),
+        (d2_all, row_all, nei_probs, weights),
     )
     interd, intere = _finalize(sum_prob, interd, map_count)
-    return interd, intere, ovf
+    p = q_prob_s.shape[0]
+    interd = jnp.zeros((p,), jnp.float32).at[pq.s_qidx].set(interd)
+    intere = jnp.zeros((p,), jnp.float32).at[pq.s_qidx].set(intere)
+    return interd, intere
 
 
-def stack_grids(grids: Sequence[HashGrid]) -> HashGrid:
-    """Stack per-neighbor grids into one leading-axis pytree for the scan."""
-    import jax.tree_util as jtu
+@jax.jit
+def _score_frame_device(q_prob, q_xyz, q_valid, nei_probs, grids, weights):
+    """Score an uploaded query frame: cell-sort once, share across all slots."""
+    pq = prepare_queries(q_xyz, q_valid, DIS_THRESH)
+    q_prob_s = q_prob[pq.s_qidx]  # accumulate in sorted order; unsort once
+    return _accumulate_and_unsort(pq, q_prob_s, nei_probs, grids, weights)
 
-    return jtu.tree_map(lambda *xs: jnp.stack(xs), *grids)
+
+@jax.jit
+def _score_slot_device(nei_probs, grids, slot, weights):
+    """Score a RING-RESIDENT frame as the query: its grid IS the cell-sort
+    (``nn_match.prepared_from_grid``), so scoring uploads NOTHING — the
+    runner's steady state transfers one new frame per frame scored (it enters
+    the ring once, serves as query once and as neighbor 24 times).  The query's
+    own slot rides at weight 0 in ``weights``."""
+    from lidal_tpu.active.nn_match import prepared_from_grid
+
+    grid_q = jax.tree_util.tree_map(lambda a: a[slot], grids)
+    pq = prepared_from_grid(grid_q)
+    q_prob_s = nei_probs[slot]
+    return _accumulate_and_unsort(pq, q_prob_s, nei_probs, grids, weights)
 
 
-# candidate-run cap ladder: the exact-NN guarantee.  A frame is first scored
-# with the cheap default cap; a non-zero overflow counter (host-visible) means
-# a probe's z-run held more candidates than the scan cap, so a dropped
-# candidate COULD have been the true nearest neighbor — the frame is re-scored
-# with a doubled cap until the count is zero.  Each rung compiles once per
-# process; real LiDAR at 0.1 m cells virtually never needs the second rung.
-CAND_LADDER = (6, 12, 24, 48, 96)
+def score_slot(ring_state, slot, weights):
+    """Production entry: score ring slot ``slot`` against all slots weighted by
+    ``weights`` [S] (its own slot at 0).  Returns (interd, intere) [cap] in the
+    frame's ORIGINAL point order."""
+    grids, probs = ring_state
+    return _score_slot_device(probs, grids, jnp.asarray(slot), weights)
 
 
 def score_frame(
@@ -144,34 +160,23 @@ def score_frame(
 ):
     """Per-point inter-frame divergence + entropy against all neighbor frames.
 
-    Exact-NN guarantee: matches the reference KD-tree (``LiDAL.py:66``) for
-    every point — candidate-run overflow triggers a re-score with a doubled
-    scan cap (see ``CAND_LADDER``) until no candidate is dropped.
-
-    ``nei_probs`` entries may be device arrays (the runner keeps a device-side
-    LRU — consecutive frames share 22/24 neighbors, and re-uploading the ~10 MB
-    probability map per neighbor per frame dominates scoring wall-clock
-    otherwise)."""
+    Convenience list API (tests/bench): ``nei_probs`` in ORIGINAL point order;
+    stacks + grid-sorts on the fly.  The runner uses the stacked ring entry."""
     q_prob_j = jnp.asarray(q_prob, jnp.float32)
     q_xyz_j = jnp.asarray(q_xyz, jnp.float32)
     q_valid = jnp.ones(q_prob.shape[:1], bool)
-    nei = jnp.stack([jnp.asarray(p, jnp.float32) for p in nei_probs])
     grids = stack_grids(list(nei_grids))
-    for i, cpc in enumerate(CAND_LADDER):
-        interd, intere, ovf = _score_frame_device(
-            q_prob_j, q_xyz_j, q_valid, nei, grids, cand_per_cell=cpc
-        )
-        if int(ovf) == 0:
-            return np.asarray(interd), np.asarray(intere)
-        if i + 1 < len(CAND_LADDER):
-            print(
-                f"WARNING: NN candidate-run overflow at cap {cpc} "
-                f"({int(ovf)} dropped) — re-scoring with cap {CAND_LADDER[i + 1]}"
-            )
-    raise RuntimeError(
-        f"NN candidate runs overflow even at cap {CAND_LADDER[-1]} "
-        f"({int(ovf)} dropped): pathological point density for 0.1 m cells"
+    cap = grids.src_idx.shape[1]
+    nei = jnp.stack(
+        [
+            jnp.pad(jnp.asarray(p, jnp.float32), ((0, cap - p.shape[0]), (0, 0)))
+            for p in nei_probs
+        ]
     )
+    nei = jnp.take_along_axis(nei, grids.src_idx[:, :, None], axis=1)
+    weights = jnp.ones((len(nei_probs),), jnp.float32)
+    interd, intere = _score_frame_device(q_prob_j, q_xyz_j, q_valid, nei, grids, weights)
+    return np.asarray(interd), np.asarray(intere)
 
 
 def sv_aggregate(

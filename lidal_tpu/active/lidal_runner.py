@@ -5,25 +5,36 @@ Flow per round r >= 1 (all paths per the reference taxonomy):
 1. accumulate previous-round sv flags per sequence (round 1 reads the 0r
    bootstrap) with frame offsets + current-round save paths (``:137-167``);
 2. for every frame: score inter-frame divergence/entropy against its 24
-   pose-registered neighbors — on device, with neighbor hash grids cached in a
-   sliding window (consecutive frames share 22/24 neighbors);
+   pose-registered neighbors — on device, with neighbor hash grids and
+   grid-sorted probability maps resident in a per-device RING of slots
+   (consecutive frames share 22/24 neighbors: two in-place slot writes per
+   frame instead of any re-stack or re-upload);
 3. aggregate per supervoxel; lazily persist global sv_pnums / sv_centers with the
    per-sequence +1000*seq_idx center offset (``:175-222``);
 4. greedy AL + SL selection; write per-frame flag npys for round r (``:230-330``).
 
-Fixed-capacity padding keeps every device call at one compiled shape.
+Parallelism: each sequence's frame list is split contiguously across the local
+devices (the reference scored with a 24-process CPU pool, ``LiDAL.py:204``, and
+sharded its inference loader across all GPUs, ``sk_dataloader.py:196-198``);
+one host thread per device runs load -> dispatch -> aggregate with a one-frame
+IO readahead.  Per-frame results are independent and supervoxel writes are
+disjoint, so the selection output is bit-identical for any device count.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
-from collections import OrderedDict
-from typing import Dict, List, Sequence
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Sequence
 
+import jax
 import numpy as np
 
 from lidal_tpu.active import lidal
+from lidal_tpu.active.nn_match import build_grid
 from lidal_tpu.config import RunConfig
 from lidal_tpu.data.selection import load_sv_info
 from lidal_tpu.prep.grid import load_grid_points
@@ -39,34 +50,98 @@ def _prev_prob_dir(cfg: RunConfig, seq: str) -> str:
     return Paths(prev).prob_dir(seq)
 
 
-class _NeighborCache:
-    """Device-resident LRU of (hash grid, prob map) per (seq, frame index).
+@functools.partial(jax.jit, static_argnames=("cell",))
+def _build_entry(xyz_pad, valid, prob_pad, cell: float = lidal.DIS_THRESH):
+    """One neighbor: hash grid + probability map permuted into grid order."""
+    grid = build_grid(xyz_pad, valid, cell)
+    return grid, prob_pad[grid.src_idx]
 
-    Consecutive query frames share 22/24 neighbors; caching both the grid AND
-    the ~10 MB probability map ON DEVICE removes the per-frame host->device
-    re-upload that dominated round-1 scoring wall-clock."""
 
-    def __init__(self, cap_points: int, num_classes: int, max_entries: int = 40):
-        self.cap = cap_points
-        self.num_classes = num_classes
-        self.max_entries = max_entries
-        self._d: "OrderedDict" = OrderedDict()
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _ring_write(state, slot, grid, prob_sorted):
+    grids, probs = state
+    grids = jax.tree_util.tree_map(lambda a, b: a.at[slot].set(b), grids, grid)
+    return grids, probs.at[slot].set(prob_sorted)
 
-    def get(self, key, xyz_path: str, prob_path: str):
-        if key in self._d:
-            self._d.move_to_end(key)
-            return self._d[key]
+
+class NeighborRing:
+    """Per-device ring of (hash grid, grid-sorted prob) slots, stacked on a
+    leading slot axis so scoring is ONE kernel launch over all neighbors.
+
+    Consecutive query frames share 22/24 neighbors; only evicted slots are
+    rewritten (donated in-place update).  Duplicate neighbor ids (the
+    reference's end-of-sequence reflection) ride a per-frame weight vector."""
+
+    def __init__(self, nslots: int, cap: int, device=None):
         import jax.numpy as jnp
 
-        xyz = load_grid_points(xyz_path)
-        grid = lidal.make_neighbor_grid(xyz.astype(np.float32), cap=self.cap)
-        npb = np.load(prob_path).astype(np.float32)
-        npb_pad = np.zeros((self.cap, npb.shape[1]), np.float32)
-        npb_pad[: min(len(npb), self.cap)] = npb[: self.cap]
-        self._d[key] = (grid, jnp.asarray(npb_pad), len(xyz))
-        if len(self._d) > self.max_entries:
-            self._d.popitem(last=False)
-        return self._d[key]
+        self.nslots = nslots
+        self.cap_in = cap
+        self.device = device
+        self.key2slot: Dict = {}
+        self.free = list(range(nslots))
+        self.state = None  # allocated on first ensure() (class count from data)
+        self.meta: Dict = {}  # key -> (true point count, host xyz) for aggregation
+
+        def put(x):
+            return jax.device_put(x, device) if device is not None else jnp.asarray(x)
+
+        self._put = put
+
+    def _alloc(self, num_classes: int) -> None:
+        # probe one build to learn the grid's rounded capacity/leaf shapes
+        probe_g, probe_p = _build_entry(
+            self._put(np.zeros((self.cap_in, 3), np.float32)),
+            self._put(np.zeros((self.cap_in,), bool)),
+            self._put(np.zeros((self.cap_in, num_classes), np.float32)),
+        )
+        grids = jax.tree_util.tree_map(
+            lambda l: self._put(np.zeros((self.nslots,) + l.shape, l.dtype)), probe_g
+        )
+        probs = self._put(np.zeros((self.nslots,) + probe_p.shape, probe_p.dtype))
+        self.state = (grids, probs)
+
+    def ensure(self, keys: Sequence, loader) -> None:
+        """Make every key resident; ``loader(key) -> (xyz [n,3], prob [n,c])``."""
+        wanted = set(keys)
+        missing = [k for k in wanted if k not in self.key2slot]
+        if not missing:
+            return
+        for k in [k for k in list(self.key2slot) if k not in wanted]:
+            self.free.append(self.key2slot.pop(k))
+            self.meta.pop(k, None)
+        for k in missing:
+            xyz, prob = loader(k)
+            if self.state is None:
+                self._alloc(prob.shape[1])
+            self.meta[k] = (min(len(xyz), self.cap_in), xyz)
+            n = min(len(xyz), self.cap_in)
+            xyz_pad = np.zeros((self.cap_in, 3), np.float32)
+            xyz_pad[:n] = xyz[:n]
+            valid = np.zeros((self.cap_in,), bool)
+            valid[:n] = True
+            prob_pad = np.zeros((self.cap_in, prob.shape[1]), np.float32)
+            prob_pad[:n] = prob[:n]
+            grid, psort = _build_entry(
+                self._put(xyz_pad), self._put(valid), self._put(prob_pad)
+            )
+            slot = self.free.pop()
+            self.state = _ring_write(self.state, slot, grid, psort)
+            self.key2slot[k] = slot
+
+    def weights(self, keys: Sequence) -> np.ndarray:
+        """Per-slot multiplicity of ``keys`` (0 for unused slots)."""
+        w = np.zeros((self.nslots,), np.float32)
+        for k in keys:
+            w[self.key2slot[k]] += 1.0
+        return w
+
+
+def _device_chunks(n: int, devices) -> List[range]:
+    """Contiguous frame ranges per device (contiguity preserves ring reuse)."""
+    d = len(devices)
+    per = -(-n // d)
+    return [range(i * per, min((i + 1) * per, n)) for i in range(d)]
 
 
 def run_lidal_round(
@@ -74,9 +149,14 @@ def run_lidal_round(
     train_split: Sequence[str] | None = None,
     train_point_num: int | None = None,
     verbose: bool = False,
+    devices: Optional[Sequence] = None,
 ) -> lidal.SelectionResult:
     """Execute one full LiDAL scoring + selection round; writes flag files and
-    returns the selection result."""
+    returns the selection result.  Frames are scored in parallel over
+    ``devices`` (default: all local devices)."""
+    import jax
+    import jax.numpy as jnp
+
     assert cfg.r_id >= 1
     assert cfg.metric_name.startswith("LiDAL")
     data = cfg.data
@@ -84,18 +164,17 @@ def run_lidal_round(
     tpn = train_point_num or data.train_point_num
     paths = Paths(cfg)
     cap = data.point_cap
+    devices = list(devices) if devices is not None else jax.local_devices()
 
     # ---- 1. previous-round flags --------------------------------------------------
     sv_flags_list: List[np.ndarray] = []
     save_paths: List[str] = []
     frame_names: Dict[str, List[str]] = {}
-    prev_flag_dirs = {}
     for seq in split:
         if cfg.r_id == 1:
             fdir = paths.sv_flag_dir(seq, r_id=0)
         else:
             fdir = Paths(dataclasses.replace(cfg, r_id=cfg.r_id - 1)).sv_flag_dir(seq)
-        prev_flag_dirs[seq] = fdir
         names = sorted(f[:-4] for f in os.listdir(fdir) if f.endswith(".npy"))
         frame_names[seq] = names
         out_dir = ensure_dir(paths.sv_flag_dir(seq))
@@ -119,53 +198,89 @@ def run_lidal_round(
     else:
         sv_pnums = np.zeros(n_sv_total, np.int64)
         sv_centers = np.zeros((n_sv_total, 3), np.float32)
+    agg_lock = threading.Lock()
 
     for seq_idx, seq in enumerate(split):
         prob_dir = _prev_prob_dir(cfg, seq)
         grid_dir = paths.grid_dir(seq)
         svi_dir = paths.supervoxel_dir(seq, "KMeans")
         names = frame_names[seq]
-        cache = _NeighborCache(cap_points=cap, num_classes=data.num_classes)
-        for fi, name in enumerate(names):
-            q_prob = np.load(os.path.join(prob_dir, f"{name}.npy")).astype(np.float32)
-            q_xyz = load_grid_points(os.path.join(grid_dir, f"{name}.npz")).astype(np.float32)
-            p = len(q_prob)
-            assert len(q_xyz) == p, (seq, name, len(q_xyz), p)
+        chunks = _device_chunks(len(names), devices)
 
-            nei = lidal.neighbor_ids(fi, len(names))
-            nei_probs, nei_grids = [], []
-            for ni in nei:
-                nname = names[ni]
-                grid, npb_dev, _ = cache.get(
-                    (seq, ni),
-                    os.path.join(grid_dir, f"{nname}.npz"),
-                    os.path.join(prob_dir, f"{nname}.npy"),
-                )
-                nei_probs.append(npb_dev)
-                nei_grids.append(grid)
+        def load_frame(ni: int):
+            nname = names[ni]
+            xyz = load_grid_points(os.path.join(grid_dir, f"{nname}.npz")).astype(np.float32)
+            prob = np.load(os.path.join(prob_dir, f"{nname}.npy")).astype(np.float32)
+            return xyz, prob
 
-            # pad query to the fixed capacity -> one compiled shape for all frames
-            qp = np.zeros((cap, q_prob.shape[1]), np.float32)
-            qp[:p] = q_prob[:cap]
-            qx = np.zeros((cap, 3), np.float32)
-            qx[:p] = q_xyz[:cap]
-            interd, intere = lidal.score_frame(qp, qx, nei_probs, nei_grids)
-            interd, intere = interd[:p], intere[:p]
-
+        def aggregate(fi: int, p: int, q_xyz, interd_j, intere_j):
+            """Pull one frame's device results and fold into the sv arrays."""
+            name = names[fi]
+            interd = np.asarray(interd_j)[:p]
+            intere = np.asarray(intere_j)[:p]
             point2sv, sv_gid = load_sv_info(os.path.join(svi_dir, f"{name}.npz"))
             n_sv = len(sv_gid)
             if sv_pre:
                 d, e, _ = lidal.sv_aggregate(interd, intere, point2sv, n_sv)
+                with agg_lock:
+                    sv_interds[sv_gid] = d
+                    sv_interes[sv_gid] = e
             else:
                 d, e, cnt, ctr = lidal.sv_aggregate(interd, intere, point2sv, n_sv, q_xyz)
-                sv_pnums[sv_gid] = cnt
-                # +1000 * seq idx so centers of different sequences never collide
-                # (LiDAL.py:218)
-                sv_centers[sv_gid] = ctr + seq_idx * 1000.0
-            sv_interds[sv_gid] = d
-            sv_interes[sv_gid] = e
+                with agg_lock:
+                    sv_pnums[sv_gid] = cnt
+                    # +1000 * seq idx so centers of different sequences never
+                    # collide (LiDAL.py:218)
+                    sv_centers[sv_gid] = ctr + seq_idx * 1000.0
+                    sv_interds[sv_gid] = d
+                    sv_interes[sv_gid] = e
             if verbose:
                 print(f"Processing frame {seq}_{fi}")
+
+        def worker(dev_idx: int):
+            dev = devices[dev_idx]
+            chunk = chunks[dev_idx]
+            if len(chunk) == 0:
+                return
+            # +2 slots: the query frame itself stays resident (it becomes a
+            # neighbor of the next 12 frames — zero re-upload), plus slack for
+            # end-of-sequence reflection windows.
+            ring = NeighborRing(lidal.NEI_NUM + 2, cap, device=dev)
+            put = ring._put
+            io = ThreadPoolExecutor(max_workers=1)
+
+            def prefetch(fi):
+                """Warm the ring for frame fi on the IO thread (host loads)."""
+                ring.ensure([fi] + lidal.neighbor_ids(fi, len(names)), load_frame)
+
+            nxt = io.submit(prefetch, chunk[0])
+            pending = None  # (fi, p, q_xyz, interd_j, intere_j)
+            for fi in chunk:
+                nxt.result()
+                nei = lidal.neighbor_ids(fi, len(names))
+                w = put(ring.weights(nei))
+                slot = ring.key2slot[fi]
+                p, q_xyz = ring.meta[fi]
+                interd_j, intere_j = lidal.score_slot(ring.state, slot, w)
+                if fi + 1 in chunk:
+                    nxt = io.submit(prefetch, fi + 1)
+                if pending is not None:
+                    aggregate(*pending)  # drains frame i-1 while frame i computes
+                pending = (fi, p, q_xyz, interd_j, intere_j)
+            if pending is not None:
+                aggregate(*pending)
+            io.shutdown(wait=False)
+
+        if len(devices) == 1:
+            worker(0)
+        else:
+            threads = [
+                threading.Thread(target=worker, args=(i,)) for i in range(len(devices))
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
 
     if not sv_pre:
         ensure_dir(stats_dir)

@@ -1,0 +1,246 @@
+"""Pallas band-pairwise kernel for hash-grid nearest neighbors (NN-scan v3).
+
+TPU-native replacement for the sklearn KD-tree hot loop of LiDAL scoring
+(reference ``score/sv_level/LiDAL.py:66``: ``tree.query(q, k=1)`` against 24
+pose-registered neighbor frames, match if distance <= 0.1 m).
+
+Key observation (replaces v2's nine per-probe candidate runs, chunked scans,
+run caps, and one-hot gather matmuls entirely): with cell size == the match
+threshold, ANY table point within the threshold of a query lies in the query's
+3x3x3 cell neighborhood, and every neighborhood cell of every query in a
+cell-sorted query tile lies inside ONE contiguous key range of the cell-sorted
+table — the band from lower_bound(first query's (-1,-1,-1) probe key) to
+lower_bound(last query's (+1,+1,+2) probe key) (lower bounds are monotone in
+the packed key, so the min/max over all 27 offsets are the two corner shifts).
+
+The kernel therefore just computes the FULL pairwise distance between a query
+tile and its band, with no masks beyond the band itself:
+
+* queries ride the LANE axis ([4, TILE] coordinate block), table blocks ride
+  (sublane, lane) as planar [3, SUB, 128] slabs of the [3, cap/128, 128]
+  coordinate image — a 12 KB DMA per block, double-buffered with cross-step
+  head prefetch;
+* per block: ``d2 = (tx-qx)^2 + (ty-qy)^2 + (tz-qz)^2`` on [SUB, 128, TILE]
+  (pure VPU; f32 exact), two-stage min + lowest-index-among-ties argmin;
+* rows beyond the valid table prefix carry BIG coordinates (``build_grid``
+  pads with 1e9), so they can never win a <= 0.1 m match — no validity mask.
+
+Exactness: every candidate within the threshold is in the band, so
+match-level results (is there a point within 0.1 m, and which one is nearest)
+reproduce the KD-tree exactly — with NO run caps there is no overflow and no
+re-scoring ladder.  Band rows outside the 27-neighborhood can only influence
+the reported distance of NON-matches (their distance is > 0.1 m by the cell
+geometry), which the LiDAL scorer discards.
+
+Tie-breaking: among equidistant nearest candidates the lowest table row wins
+(blocks update on strict improvement only; in-block ties resolve to the
+smallest index).  sklearn's tie order is unspecified — measure-zero on real
+float coordinates (documented divergence, ``active/nn_match.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 256  # queries per grid step (lane axis)
+SUB = 8  # table rows of 128 points per DMA block
+TN = SUB * 128  # table points per block
+BIG_COORD = 1.0e9  # padding coordinate for invalid table rows (build_grid)
+
+
+def _kernel(lo_ref, nb_ref, q_ref, tbl_hbm, d2_ref, bi_ref, heads, tails, hsem, tsem):
+    s = pl.program_id(0)  # neighbor slot
+    t = pl.program_id(1)  # query tile
+    nt = pl.num_programs(1)
+    ns = pl.num_programs(0)
+    lin = s * nt + t
+
+    def head_dma(slot, si, lo):
+        return pltpu.make_async_copy(
+            tbl_hbm.at[si, :, pl.ds(lo * SUB, SUB), :], heads.at[slot], hsem.at[slot]
+        )
+
+    @pl.when(lin == 0)
+    def _():
+        @pl.when(nb_ref[0, 0] > 0)
+        def _():
+            head_dma(0, 0, lo_ref[0, 0]).start()
+
+    # prefetch the NEXT grid step's first block while this one computes
+    nxt = lin + 1
+    sn_, tn_ = nxt // nt, nxt % nt
+    sn_c = jnp.minimum(sn_, ns - 1)
+
+    @pl.when((nxt < ns * nt) & (nb_ref[sn_c, tn_] > 0))
+    def _():
+        head_dma(nxt & 1, sn_c, lo_ref[sn_c, tn_]).start()
+
+    lo = lo_ref[s, t]
+    nblocks = nb_ref[s, t]
+
+    q = q_ref[:]  # [4, TILE] f32 (row 3 is padding)
+    qx = q[0:1, :].reshape(1, 1, TILE)
+    qy = q[1:2, :].reshape(1, 1, TILE)
+    qz = q[2:3, :].reshape(1, 1, TILE)
+
+    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128, 1), 0)
+    iota_lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128, 1), 1)
+    big_i = jnp.int32(2**30)
+
+    def tail_dma(bi):
+        slot = (bi - 1) & 1
+        return pltpu.make_async_copy(
+            tbl_hbm.at[s, :, pl.ds((lo + bi) * SUB, SUB), :], tails.at[slot], tsem.at[slot]
+        )
+
+    @pl.when(nblocks > 1)
+    def _():
+        tail_dma(1).start()
+
+    best_d2 = jnp.full((1, TILE), jnp.inf, jnp.float32)
+    best_bi = jnp.zeros((1, TILE), jnp.int32)
+
+    def block_body(b, carry):
+        best_d2, best_bi = carry
+
+        @pl.when((b >= 1) & (b + 1 < nblocks))
+        def _():
+            tail_dma(b + 1).start()
+
+        @pl.when(b == 0)
+        def _():
+            head_dma(lin & 1, s, lo).wait()
+
+        @pl.when(b > 0)
+        def _():
+            tail_dma(b).wait()
+
+        hblk = heads[lin & 1]
+        tblk = tails[(b - 1) & 1]
+        blk = jnp.where(b == 0, hblk, tblk)  # [3, SUB, 128] f32
+
+        tx = blk[0][:, :, None]  # [SUB, 128, 1]
+        ty = blk[1][:, :, None]
+        tz = blk[2][:, :, None]
+        dx = tx - qx  # [SUB, 128, TILE]
+        dy = ty - qy
+        dz = tz - qz
+        d2 = dx * dx + dy * dy + dz * dz
+
+        # two-stage min keeps lanes (queries) in place; no reshapes
+        m1 = jnp.min(d2, axis=0)  # [128, TILE]
+        blk_best = jnp.min(m1, axis=0, keepdims=True)  # [1, TILE]
+
+        # lowest table row among the block's minima
+        row0 = (lo + b) * SUB
+        jidx = (row0 + iota_sub) * 128 + iota_lane  # [SUB, 128, 1]
+        eq = d2 == jnp.broadcast_to(blk_best[None], d2.shape)
+        cand = jnp.where(eq, jnp.broadcast_to(jidx, d2.shape), big_i)
+        i1 = jnp.min(cand, axis=0)  # [128, TILE]
+        blk_idx = jnp.min(i1, axis=0, keepdims=True)  # [1, TILE]
+
+        better = blk_best < best_d2
+        best_d2 = jnp.where(better, blk_best, best_d2)
+        best_bi = jnp.where(better, blk_idx, best_bi)
+        return best_d2, best_bi
+
+    best_d2, best_bi = jax.lax.fori_loop(0, nblocks, block_body, (best_d2, best_bi))
+    d2_ref[0] = best_d2
+    bi_ref[0] = jnp.minimum(best_bi, big_i - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nn_band_pallas(
+    tbl: jnp.ndarray,  # [S, 3, cap // 128, 128] f32 planar table coords (BIG pad)
+    q_t: jnp.ndarray,  # [4, p] f32 cell-sorted query coords (row 3 = 0 pad)
+    blo: jnp.ndarray,  # [S, tiles] int32 first band block per (slot, tile)
+    nb: jnp.ndarray,  # [S, tiles] int32 band block count
+    interpret: bool = False,
+):
+    """Per (neighbor slot, query): min distance^2 over the tile's band and the
+    winning table row.  Returns (best_d2 [S, p] f32 — inf when the band is
+    empty, best_row [S, p] i32)."""
+    s, three, rows, lanes = tbl.shape
+    assert (three, lanes) == (3, 128), tbl.shape
+    p = q_t.shape[1]
+    assert q_t.shape[0] == 4, q_t.shape
+    assert p % TILE == 0 and rows % SUB == 0, (p, rows)
+    tiles = p // TILE
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # blo, nb
+        grid=(s, tiles),  # tiles innermost: consecutive steps share the slot
+        in_specs=[
+            pl.BlockSpec((4, TILE), lambda si, t, *_: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # table coords stay in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, 1, TILE), lambda si, t, *_: (si * tiles + t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, TILE), lambda si, t, *_: (si * tiles + t, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, SUB, 128), jnp.float32),  # head ring (cross-step)
+            pltpu.VMEM((2, 3, SUB, 128), jnp.float32),  # tail ring (blocks >= 1)
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    d2, bi = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((s * tiles, 1, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((s * tiles, 1, TILE), jnp.int32),
+        ),
+        interpret=interpret,
+    )(blo, nb, q_t, tbl)
+    return d2.reshape(s, tiles * TILE), bi.reshape(s, tiles * TILE)
+
+
+def nn_band_xla(tbl, q_t, blo, nb):
+    """XLA reference/fallback with semantics bit-identical to the kernel:
+    full pairwise over the block-rounded band, f32 ``dx*dx + dy*dy + dz*dz``,
+    min with lowest-row tie-break.  Memory scales as [S, TILE, cap] per tile
+    step — intended for CPU tests and small capacities."""
+    s = tbl.shape[0]
+    cap = tbl.shape[2] * 128
+    p = q_t.shape[1]
+    tiles = p // TILE if p % TILE == 0 else -(-p // TILE)
+    pp = tiles * TILE
+    if pp != p:
+        q_t = jnp.pad(q_t, ((0, 0), (0, pp - p)))
+        # pad queries with BIG so they never match anything real
+        q_t = q_t.at[:3, p:].set(BIG_COORD)
+    flat = tbl.reshape(s, 3, cap)  # [S, 3, cap]
+    j = jnp.arange(cap, dtype=jnp.int32)
+    big_i = jnp.int32(2**30)
+
+    def tile_body(t, _):
+        q = jax.lax.dynamic_slice(q_t, (0, t * TILE), (4, TILE))  # [4, TILE]
+        dx = flat[:, 0, :][:, None, :] - q[0][None, :, None]  # [S, TILE, cap]
+        dy = flat[:, 1, :][:, None, :] - q[1][None, :, None]
+        dz = flat[:, 2, :][:, None, :] - q[2][None, :, None]
+        d2 = dx * dx + dy * dy + dz * dz
+        lo_r = jax.lax.dynamic_slice(blo, (0, t), (s, 1)) * TN  # [S, 1]
+        hi_r = lo_r + jax.lax.dynamic_slice(nb, (0, t), (s, 1)) * TN
+        in_band = (j[None, None, :] >= lo_r[:, :, None]) & (j[None, None, :] < hi_r[:, :, None])
+        d2 = jnp.where(in_band, d2, jnp.inf)
+        best = jnp.min(d2, axis=2)  # [S, TILE]
+        cand = jnp.where(d2 == best[:, :, None], j[None, None, :], big_i)
+        idx = jnp.minimum(jnp.min(cand, axis=2), big_i - 1)
+        return t + 1, (best, idx)
+
+    _, (d2s, idxs) = jax.lax.scan(lambda c, _: tile_body(c, None), 0, None, length=tiles)
+    # scan stacks on axis 0 -> [tiles, S, TILE]
+    d2s = jnp.moveaxis(d2s, 0, 1).reshape(s, pp)[:, :p]
+    idxs = jnp.moveaxis(idxs, 0, 1).reshape(s, pp)[:, :p]
+    return d2s, idxs

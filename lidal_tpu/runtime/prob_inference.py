@@ -5,11 +5,21 @@ Reference parity: ``score/prob_inference.py:21-133`` — for every train frame r
 views, save per-point ``prob_map`` / ``pred`` / optional ``outfeat`` npy per
 (seq, frame).  TPU-natively the 8 views are a vmapped leading axis prepared and
 reduced entirely on device; only the final [P, C] arrays cross to host for saving.
+
+Parallelism (the reference ran this stage on every GPU of the node,
+``sk_dataloader.py:196-198`` + ``prob_inference.py:129-133``): the frame list
+splits contiguously across the local devices; one host thread per device runs a
+load -> dispatch -> collect pipeline with one frame of IO readahead, one frame
+of dispatch lookahead (the device computes frame i+1 while the host drains and
+saves frame i), and asynchronous npy writes.  Augmentation keys derive from the
+GLOBAL frame index, so outputs are identical for any device count.
 """
 
 from __future__ import annotations
 
 import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -63,6 +73,11 @@ def make_multiview_fn(cfg: RunConfig, eval_step: Callable):
     return run
 
 
+def _device_chunks(n: int, d: int):
+    per = -(-n // d)
+    return [range(i * per, min((i + 1) * per, n)) for i in range(d)]
+
+
 def run_prob_inference(
     cfg: RunConfig,
     eval_step: Callable,
@@ -73,6 +88,7 @@ def run_prob_inference(
     point_cap: Optional[int] = None,
     save: bool = True,
     verbose: bool = False,
+    devices: Optional[Sequence] = None,
 ):
     """Run the full multi-view dump; returns {(seq, frame): (prob, pred, feat|None)}
     when ``save`` is False (for tests), else writes npy files and returns None."""
@@ -83,27 +99,73 @@ def run_prob_inference(
     cap = point_cap or data.point_cap
     with_feat = wants_outfeat(cfg)
     fn = make_multiview_fn(cfg, eval_step)
-    rng = jax.random.PRNGKey(cfg.seed)
+    base_key = jax.random.PRNGKey(cfg.seed)
+    devices = list(devices) if devices is not None else jax.local_devices()
     results = {} if not save else None
+    res_lock = threading.Lock()
+    chunks = _device_chunks(len(files), len(devices))
 
-    for path in files:
-        xyz, sig, _ = read_fn(path)
+    def load(idx: int):
+        xyz, sig, _ = read_fn(files[idx])
         n = len(xyz)
         oxyz, osig, ovalid, _ = pad_points(xyz, sig, None, cap)
-        rng, sub = jax.random.split(rng)
-        keys = jax.random.split(sub, cfg.inf_reps)
-        prob, pred, feat = fn(variables, keys, jnp.asarray(oxyz), jnp.asarray(osig), jnp.asarray(ovalid))
-        prob = np.asarray(prob)[:n]
-        pred = np.asarray(pred)[:n]
-        feat_np = np.asarray(feat)[:n] if with_feat else None
-        seq, frame = frame_id_fn(path)
+        # keys from the GLOBAL index: device-count invariant
+        keys = jax.random.split(jax.random.fold_in(base_key, idx), cfg.inf_reps)
+        return n, oxyz, osig, ovalid, keys
+
+    def emit(io, idx: int, n: int, out):
+        prob_j, pred_j, feat_j = out
+        prob = np.asarray(prob_j)[:n]
+        pred = np.asarray(pred_j)[:n]
+        feat_np = np.asarray(feat_j)[:n] if with_feat else None
+        seq, frame = frame_id_fn(files[idx])
         if save:
-            np.save(os.path.join(ensure_dir(paths.prob_dir(seq)), f"{frame}.npy"), prob)
-            np.save(os.path.join(ensure_dir(paths.pred_dir(seq)), f"{frame}.npy"), pred)
-            if with_feat:
-                np.save(os.path.join(ensure_dir(paths.outfeat_dir(seq)), f"{frame}.npy"), feat_np)
+            def write(seq=seq, frame=frame, prob=prob, pred=pred, feat_np=feat_np):
+                np.save(os.path.join(ensure_dir(paths.prob_dir(seq)), f"{frame}.npy"), prob)
+                np.save(os.path.join(ensure_dir(paths.pred_dir(seq)), f"{frame}.npy"), pred)
+                if with_feat:
+                    np.save(
+                        os.path.join(ensure_dir(paths.outfeat_dir(seq)), f"{frame}.npy"),
+                        feat_np,
+                    )
+            io.submit(write)
         else:
-            results[(seq, frame)] = (prob, pred, feat_np)
+            with res_lock:
+                results[(seq, frame)] = (prob, pred, feat_np)
         if verbose:
             print(f"Processing {seq}/{frame}")
+
+    def worker(di: int):
+        chunk = chunks[di]
+        if len(chunk) == 0:
+            return
+        dev = devices[di]
+        vars_d = jax.device_put(variables, dev) if len(devices) > 1 else variables
+
+        def put(x):
+            return jax.device_put(x, dev) if len(devices) > 1 else jnp.asarray(x)
+
+        io = ThreadPoolExecutor(max_workers=2)
+        next_load = io.submit(load, chunk[0])
+        pending = None  # (idx, n, dispatched outputs)
+        for idx in chunk:
+            n, oxyz, osig, ovalid, keys = next_load.result()
+            if idx + 1 in chunk:
+                next_load = io.submit(load, idx + 1)
+            out = fn(vars_d, put(keys), put(oxyz), put(osig), put(ovalid))
+            if pending is not None:
+                emit(io, *pending)  # drains frame i-1 while frame i computes
+            pending = (idx, n, out)
+        if pending is not None:
+            emit(io, *pending)
+        io.shutdown(wait=True)
+
+    if len(devices) == 1:
+        worker(0)
+    else:
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(len(devices))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
     return results

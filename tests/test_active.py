@@ -27,14 +27,14 @@ def test_nn_query_matches_kdtree_within_threshold(seed):
     nei = _cloud(rng, 800, extent=4.0)
     q = _cloud(rng, 500, extent=4.2, offset=-0.1)
     grid = build_grid(jnp.asarray(nei), jnp.ones(len(nei), bool), cell=thresh)
-    dist, nn_src, found, _ = nn_query(grid, jnp.asarray(q), jnp.ones(len(q), bool), cell=thresh)
+    dist, nn_src, found = nn_query(grid, jnp.asarray(q), jnp.ones(len(q), bool), cell=thresh)
     dist, nn_src, found = np.asarray(dist), np.asarray(nn_src), np.asarray(found)
 
     tree = KDTree(nei)
     kd_d, kd_i = tree.query(q, k=1)
     kd_d, kd_i = kd_d[:, 0], kd_i[:, 0]
     kd_match = kd_d <= thresh
-    our_match = found & (dist <= thresh)
+    our_match = found  # band-NN contract: found IS the within-threshold match set
     np.testing.assert_array_equal(our_match, kd_match)
     # where matched, the nearest point and distance agree
     np.testing.assert_allclose(dist[our_match], kd_d[kd_match], rtol=1e-5, atol=1e-6)
@@ -46,11 +46,11 @@ def test_nn_query_negative_coords_and_empty():
     nei = _cloud(rng, 100, extent=3.0, offset=-50.0)  # negative global coords
     q = nei[:20] + 0.03
     grid = build_grid(jnp.asarray(nei), jnp.ones(len(nei), bool), cell=0.1)
-    dist, nn_src, found, _ = nn_query(grid, jnp.asarray(q), jnp.ones(len(q), bool), cell=0.1)
+    dist, nn_src, found = nn_query(grid, jnp.asarray(q), jnp.ones(len(q), bool), cell=0.1)
     assert np.asarray(found).all()
     assert (np.asarray(dist) <= 0.1).all()
     # invalid queries are never found
-    _, _, f2, _ = nn_query(grid, jnp.asarray(q), jnp.zeros(len(q), bool), cell=0.1)
+    _, _, f2 = nn_query(grid, jnp.asarray(q), jnp.zeros(len(q), bool), cell=0.1)
     assert not np.asarray(f2).any()
 
 
@@ -101,10 +101,10 @@ def test_score_frame_matches_scipy_oracle():
     np.testing.assert_allclose(intere, oe, rtol=2e-4, atol=2e-5)
 
 
-def test_score_frame_overflow_ladder_recovers_exactness(capsys):
-    """A saturated hash-grid cell overflows the default candidate cap;
-    score_frame must re-score with a doubled cap and still match the KD-tree
-    oracle exactly (VERDICT r2 #3: warn-and-drop is not parity)."""
+def test_score_frame_dense_cluster_exact():
+    """A saturated hash-grid cell (the case that overflowed the v2 kernel's
+    candidate caps and required a re-scoring ladder): the band scan has no
+    caps, so one pass must match the KD-tree oracle exactly."""
     rng = np.random.default_rng(11)
     c = 5
     n = 300
@@ -125,7 +125,6 @@ def test_score_frame_overflow_ladder_recovers_exactness(capsys):
         nei_probs.append(npb)
         grids.append(lidal.make_neighbor_grid(nx))
     interd, intere = lidal.score_frame(q_prob, q_xyz, nei_probs, grids)
-    assert "overflow" in capsys.readouterr().out  # the ladder actually engaged
     od, oe = _oracle_score(
         q_prob.astype(np.float64), q_xyz, [p.astype(np.float64) for p in nei_probs], nei_xyzs
     )
@@ -304,3 +303,38 @@ def test_sv_random_budget():
     flags = redal.select_random_svs(np.zeros(n, np.int64), pnums, train_point_num=10_000, rng=rng)
     sel = np.where(flags == 1)[0]
     assert 0 < pnums[sel].sum() <= 100 + pnums.max()
+
+
+def test_score_slot_matches_score_frame():
+    """The zero-upload ring path (query scored FROM its resident slot,
+    nn_match.prepared_from_grid) must reproduce the uploaded-query path
+    bitwise on the valid prefix."""
+    import jax.numpy as jnp
+
+    from lidal_tpu.active.lidal_runner import NeighborRing
+
+    rng = np.random.default_rng(21)
+    c, n = 6, 220
+    n_frames = 8
+    frames = []
+    base = _cloud(rng, n, extent=4.0)
+    for i in range(n_frames):
+        xyz = base + np.array([0.3 * i, 0, 0], np.float32)
+        xyz += rng.normal(scale=0.05, size=xyz.shape).astype(np.float32)
+        prob = rng.dirichlet(np.ones(c), n).astype(np.float32)
+        frames.append((xyz, prob))
+
+    fi = 4
+    nei = lidal.neighbor_ids(fi, n_frames, nei_num=4)
+    ring = NeighborRing(4 + 2, cap=n, device=None)
+    ring.ensure([fi] + nei, lambda k: frames[k])
+    w = jnp.asarray(ring.weights(nei))
+    interd_s, intere_s = lidal.score_slot(ring.state, ring.key2slot[fi], w)
+
+    q_xyz, q_prob = frames[fi]
+    grids = [lidal.make_neighbor_grid(frames[k][0]) for k in nei]
+    probs = [frames[k][1] for k in nei]
+    interd_f, intere_f = lidal.score_frame(q_prob, q_xyz, probs, grids)
+
+    np.testing.assert_array_equal(np.asarray(interd_s)[:n], interd_f[:n])
+    np.testing.assert_array_equal(np.asarray(intere_s)[:n], intere_f[:n])

@@ -1,14 +1,14 @@
 """Interpret-mode parity tests for the three Pallas kernels.
 
 The kernels are gated off-TPU in production (``ops/conv.py``,
-``merge_lookup._pallas_ok``, ``nn_match._use_scan_kernel``); these tests run
+``merge_lookup._pallas_ok``); these tests run
 them through Pallas interpret mode on the CPU suite so a Mosaic-side regression
 cannot ship green.  Oracles:
 
 * ``pallas_conv``  vs the XLA im2col gather path (integer data -> bit-exact
   despite the kernel's bf16 feature staging);
 * ``pallas_merge`` vs ``np.searchsorted`` and the XLA bitonic-merge path;
-* ``pallas_nnscan`` vs the XLA candidate-gather loop and a brute-force NN.
+* ``pallas_nnband`` vs the jnp band fallback (bitwise) and a brute-force NN.
 """
 
 import functools
@@ -21,7 +21,7 @@ import lidal_tpu.ops.conv as conv_mod
 import lidal_tpu.ops.merge_lookup as ml
 import lidal_tpu.ops.pallas_conv as pconv
 import lidal_tpu.ops.pallas_merge as pmerge
-import lidal_tpu.ops.pallas_nnscan as pnnscan
+import lidal_tpu.ops.pallas_nnband as pnnband
 from lidal_tpu.active import nn_match
 from lidal_tpu.ops.hashing import SENTINEL_KEY
 
@@ -360,16 +360,8 @@ def test_pallas_merge_empty_and_duplicate_keys(pallas_merge_on):
 
 
 # --------------------------------------------------------------------------------------
-# pallas_nnscan: banded candidate scan vs the XLA gather loop + brute force
+# pallas_nnband: band pairwise NN scan vs the XLA fallback + brute force
 # --------------------------------------------------------------------------------------
-
-
-@pytest.fixture
-def pallas_nnscan_on(monkeypatch):
-    monkeypatch.setattr(
-        pnnscan, "nn_scan_pallas", functools.partial(pnnscan.nn_scan_pallas, interpret=True)
-    )
-    monkeypatch.setattr(nn_match, "_use_scan_kernel", lambda p, cap: True)
 
 
 def _nn_pair(rng, p, cap, n_nei, n_q, extent, cluster=None):
@@ -401,55 +393,74 @@ def _brute_nn(nei, nv, q, qv, thresh):
     [
         (0, 256, 256, 256, 256, 4.0),
         (1, 256, 512, 400, 200, 3.0),  # sentinel tails both sides
-        (2, 512, 256, 100, 512, 6.0),  # sparse table, many empty runs
-        (3, 512, 512, 512, 512, 2.0),  # dense: multi-candidate runs
+        (2, 512, 256, 100, 512, 6.0),  # sparse table
+        (3, 512, 512, 512, 512, 2.0),  # dense: large bands
         (4, 256, 256, 0, 256, 4.0),  # empty table
         (5, 256, 256, 256, 0, 4.0),  # no valid queries
         (6, 512, 512, 512, 512, 40.0),  # spread out: almost no matches
+        (7, 512, 2048, 2048, 512, 3.0),  # multi-block bands
+        (8, 256, 256, 200, 256, 0.5),  # everything in a handful of cells
     ],
 )
-def test_nnscan_kernel_matches_xla_fallback(pallas_nnscan_on, seed, p, cap, n_nei, n_q, extent):
+def test_nnband_kernel_matches_xla_fallback(seed, p, cap, n_nei, n_q, extent):
+    """Interpret-mode kernel vs the jnp fallback must agree BITWISE (same band
+    rounding, same f32 arithmetic, same lowest-row tie rule), and both must
+    reproduce brute-force KD-tree matching at the match level."""
     rng = np.random.default_rng(seed)
     nei, nv, q, qv = _nn_pair(rng, p, cap, n_nei, n_q, extent)
     grid = nn_match.build_grid(jnp.asarray(nei), jnp.asarray(nv), cell=0.1)
+    gs = nn_match.stack_grids([grid])
     pq = nn_match.prepare_queries(jnp.asarray(q), jnp.asarray(qv), cell=0.1)
-    k_d, k_src, k_f, k_ovf = nn_match.nn_query_prepared(grid, pq)
-    x_d, x_src, x_f, x_ovf = (
-        np.asarray(a) for a in _xla_nn_query(grid, pq)
-    )
-    np.testing.assert_array_equal(np.asarray(k_f), x_f)
-    np.testing.assert_allclose(np.asarray(k_d)[x_f], x_d[x_f], rtol=1e-6, atol=1e-7)
-    np.testing.assert_array_equal(np.asarray(k_src)[x_f], x_src[x_f])
-    assert int(k_ovf) == int(x_ovf)
-    # and against brute force where no overflow occurred
-    if int(k_ovf) == 0 and n_nei and n_q:
+    k_d2, k_row = nn_match.nn_query_band(gs, pq, interpret=True)
+    blo, nb = nn_match.band_bounds(gs, pq)
+    x_d2, x_row = pnnband.nn_band_xla(gs.planar, pq.q_t, blo, nb)
+    np.testing.assert_array_equal(np.asarray(k_d2), np.asarray(x_d2))
+    np.testing.assert_array_equal(np.asarray(k_row), np.asarray(x_row))
+
+    if n_nei and n_q:
+        dist, nn_src, found = (
+            np.asarray(a)
+            for a in nn_match.nn_query(grid, jnp.asarray(q), jnp.asarray(qv), cell=0.1)
+        )
         bd, bi, bm = _brute_nn(nei, nv, q, qv, 0.1)
-        got_m = np.asarray(k_f) & (np.asarray(k_d) <= 0.1)
-        np.testing.assert_array_equal(got_m, bm)
-        np.testing.assert_allclose(np.asarray(k_d)[bm], bd[bm], rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(found, bm)
+        np.testing.assert_allclose(dist[bm], bd[bm], rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(nn_src[bm], bi[bm])
 
 
-def _xla_nn_query(grid, pq, cand_per_cell=6):
-    """Force the XLA fallback path regardless of monkeypatched gating."""
-    import unittest.mock as mock
-
-    with mock.patch.object(nn_match, "_use_scan_kernel", lambda p, c: False):
-        return nn_match.nn_query_prepared(grid, pq, cand_per_cell)
-
-
-def test_nnscan_kernel_dense_cluster_overflow_parity(pallas_nnscan_on):
-    """A saturated cell: kernel and XLA fallback agree on results AND on the
-    overflow count; a raised cap removes the overflow and matches brute force."""
+def test_nnband_dense_cluster_exact_without_caps():
+    """The v2 kernel needed a candidate-cap ladder for saturated cells; the
+    band scan has no caps — a dense cluster must be exact on the first pass."""
     rng = np.random.default_rng(40)
     p = cap = 256
     nei, nv, q, qv = _nn_pair(rng, p, cap, 256, 256, 2.0, cluster=(80, 0.02))
     grid = nn_match.build_grid(jnp.asarray(nei), jnp.asarray(nv), cell=0.1)
-    pq = nn_match.prepare_queries(jnp.asarray(q), jnp.asarray(qv), cell=0.1)
-    _, _, _, ovf6 = nn_match.nn_query_prepared(grid, pq, 6)
-    assert int(ovf6) > 0  # the cluster saturates the default cap
-    d, src, f, ovf = nn_match.nn_query_prepared(grid, pq, 96)
-    assert int(ovf) == 0
+    dist, nn_src, found = (
+        np.asarray(a)
+        for a in nn_match.nn_query(grid, jnp.asarray(q), jnp.asarray(qv), cell=0.1)
+    )
     bd, bi, bm = _brute_nn(nei, nv, q, qv, 0.1)
-    got_m = np.asarray(f) & (np.asarray(d) <= 0.1)
-    np.testing.assert_array_equal(got_m, bm)
-    np.testing.assert_allclose(np.asarray(d)[bm], bd[bm], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(found, bm)
+    np.testing.assert_allclose(dist[bm], bd[bm], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(nn_src[bm], bi[bm])
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_nnband_random_sweep_kernel_bitwise(seed):
+    """Seeded random sweep over shapes/densities: kernel == fallback bitwise."""
+    rng = np.random.default_rng(100 + seed)
+    p = 256 * int(rng.integers(1, 4))
+    cap = 256 * int(rng.integers(1, 9))
+    n_nei = int(rng.integers(0, cap + 1))
+    n_q = int(rng.integers(0, p + 1))
+    extent = float(rng.uniform(0.3, 30.0))
+    nei, nv, q, qv = _nn_pair(rng, p, cap, n_nei, n_q, extent)
+    g1 = nn_match.build_grid(jnp.asarray(nei), jnp.asarray(nv), cell=0.1)
+    g2 = nn_match.build_grid(jnp.asarray(nei[::-1].copy()), jnp.asarray(nv), cell=0.1)
+    gs = nn_match.stack_grids([g1, g2])
+    pq = nn_match.prepare_queries(jnp.asarray(q), jnp.asarray(qv), cell=0.1)
+    k_d2, k_row = nn_match.nn_query_band(gs, pq, interpret=True)
+    blo, nb = nn_match.band_bounds(gs, pq)
+    x_d2, x_row = pnnband.nn_band_xla(gs.planar, pq.q_t, blo, nb)
+    np.testing.assert_array_equal(np.asarray(k_d2), np.asarray(x_d2))
+    np.testing.assert_array_equal(np.asarray(k_row), np.asarray(x_row))

@@ -186,3 +186,44 @@ def test_multi_step_train_scan_matches_per_step(tmp_path):
         jax.tree_util.tree_leaves(s_a.params), jax.tree_util.tree_leaves(s_b.params)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_prob_inference_device_count_invariant(tmp_path):
+    """run_prob_inference shards the frame list over local devices (reference
+    sk_dataloader.py:196-198); augmentation keys derive from the global frame
+    index, so outputs must be identical for any device count."""
+    from lidal_tpu.runtime.prob_inference import run_prob_inference
+    from lidal_tpu.runtime.train_loop import build_model
+
+    cfg = _cfg(tmp_path)
+    model = build_model(cfg)
+    xyz, sig, valid, labels = _points(6, seed=3)
+    xyz_n, sig_n = np.asarray(xyz), np.asarray(sig)
+
+    from lidal_tpu.data.pipeline import prepare_train_batch
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)
+    tb = prepare_train_batch(keys, xyz[:1], sig[:1], valid[:1], labels[:1], level_caps=CAPS)
+    from lidal_tpu.runtime.train import make_optimizer
+
+    state = init_state(model, jax.random.PRNGKey(1), tb, make_optimizer())
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    eval_step = make_eval_step(model, cfg.is_spvcnn)
+
+    files = list(range(6))
+
+    def read_fn(i):
+        n = int(np.asarray(valid[i]).sum())
+        return xyz_n[i, :n], sig_n[i, :n], None
+
+    def frame_id_fn(i):
+        return "00", f"{i:06d}"
+
+    kw = dict(files=files, read_fn=read_fn, frame_id_fn=frame_id_fn, save=False)
+    r1 = run_prob_inference(cfg, eval_step, variables, devices=jax.devices()[:1], **kw)
+    r4 = run_prob_inference(cfg, eval_step, variables, devices=jax.devices()[:4], **kw)
+    assert set(r1) == set(r4) and len(r1) == 6
+    for k in r1:
+        np.testing.assert_array_equal(r1[k][0], r4[k][0])
+        np.testing.assert_array_equal(r1[k][1], r4[k][1])
+        np.testing.assert_array_equal(r1[k][2], r4[k][2])

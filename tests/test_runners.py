@@ -119,3 +119,61 @@ def test_sv_rand_round(artifact_tree):
     before = 2 * N_SV  # frames 0 of both seqs
     added = (flags == 1).sum() - before
     assert added >= 1
+
+
+def test_lidal_round_device_count_invariant(tmp_path):
+    """run_lidal_round shards frames contiguously over local devices (the
+    reference's Pool(24) / per-GPU loader split); the selection output must be
+    BIT-IDENTICAL for any device count (per-frame scores are independent and
+    supervoxel writes disjoint)."""
+    import jax
+
+    from lidal_tpu.active.lidal_runner import run_lidal_round
+    from lidal_tpu.data.selection import save_sv_info
+    from lidal_tpu.runtime.paths import Paths, ensure_dir
+
+    rng = np.random.default_rng(7)
+    n_frames, n_pts, n_cls, n_sv = 10, 150, 5, 3
+
+    def build_tree(root):
+        cfg = mini_cfg(
+            str(root), seqs=("00",), r_id=1, metric_name="LiDAL", label_unit="sv"
+        )
+        p0 = Paths(dataclasses.replace(cfg, r_id=0, label_unit="fr"))
+        paths = Paths(cfg)
+        r = np.random.default_rng(7)  # same artifacts for both runs
+        gid = 0
+        seq = "00"
+        ensure_dir(p0.prob_dir(seq))
+        grid_dir = ensure_dir(paths.grid_dir(seq))
+        svi_dir = ensure_dir(paths.supervoxel_dir(seq, "KMeans"))
+        svf_dir = ensure_dir(paths.sv_flag_dir(seq, r_id=0))
+        base = (r.random((n_pts, 3)) * 6.0).astype(np.float32)
+        for fi in range(n_frames):
+            name = f"{fi:06d}"
+            xyz = base + np.array([0.4 * fi, 0, 0], np.float32)
+            xyz += r.normal(scale=0.04, size=xyz.shape).astype(np.float32)
+            np.savez_compressed(os.path.join(grid_dir, f"{name}.npz"), xyz=xyz)
+            prob = r.dirichlet(np.ones(n_cls), n_pts).astype(np.float32)
+            np.save(os.path.join(p0.prob_dir(seq), f"{name}.npy"), prob)
+            point2sv = r.integers(0, n_sv, n_pts).astype(np.int32)
+            sv_gid = np.arange(gid, gid + n_sv, dtype=np.int64)
+            gid += n_sv
+            save_sv_info(os.path.join(svi_dir, f"{name}.npz"), point2sv, sv_gid)
+            np.save(
+                os.path.join(svf_dir, f"{name}.npy"),
+                np.full(n_sv, 1 if fi == 0 else 0, np.int32),
+            )
+        return cfg
+
+    budget_pts = n_frames * n_pts * 40  # 1% budget covers several supervoxels
+    cfg1 = build_tree(tmp_path / "a")
+    res1 = run_lidal_round(cfg1, train_point_num=budget_pts,
+                           devices=jax.devices()[:1])
+    cfg4 = build_tree(tmp_path / "b")
+    res4 = run_lidal_round(cfg4, train_point_num=budget_pts,
+                           devices=jax.devices()[:4])
+    np.testing.assert_array_equal(res1.sv_flags, res4.sv_flags)
+    np.testing.assert_array_equal(res1.al_added, res4.al_added)
+    np.testing.assert_array_equal(res1.sl_added, res4.sl_added)
+    assert len(res1.al_added) > 0  # something was actually selected

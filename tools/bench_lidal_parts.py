@@ -12,7 +12,6 @@ from lidal_tpu.tpu_init import setup
 
 setup()
 from lidal_tpu.active import lidal, nn_match
-from lidal_tpu.ops.merge_lookup import lower_bound_sorted_many
 from tools.bench_suite import device_time
 
 rng = np.random.default_rng(0)
@@ -38,10 +37,12 @@ for i in range(NEI):
     nprob[:n_pts] = rng.dirichlet(np.ones(C), n_pts).astype(np.float32)
     nei_probs.append(jnp.asarray(nprob))
     nei_grids.append(lidal.make_neighbor_grid(frame(0.8 * (i - NEI // 2)), cap=P))
+grids = nn_match.stack_grids(nei_grids)
 nei = jnp.stack(nei_probs)
-grids = lidal.stack_grids(nei_grids)
+nei = jnp.take_along_axis(nei, grids.src_idx[:, :, None], axis=1)  # grid-sorted
 q_prob_j, q_xyz_j = jnp.asarray(q_prob), jnp.asarray(q_xyz)
 q_valid = jnp.ones((P,), bool)
+weights = jnp.ones((NEI,), jnp.float32)
 
 
 def p(name, ms):
@@ -52,73 +53,65 @@ def perturb(i, x):
     return x + (i & 1).astype(x.dtype) * 1e-30
 
 
-gt = tuple(grids)  # HashGrid fields: key_hi, key_lo, xyz, src_idx, valid
+gt = tuple(grids)  # HashGrid fields: key_hi, key_lo, planar, src_idx, valid
 
 # full frame score
 p(
     "score_frame_device (24 nei)",
     device_time(
-        lambda i, qp, qx, nei_, *g: lidal._score_frame_device(
-            qp, perturb(i, qx), q_valid, nei_, nn_match.HashGrid(*g)
+        lambda i, qp, qx, nei_, w, *g: lidal._score_frame_device(
+            qp, perturb(i, qx), q_valid, nei_, nn_match.HashGrid(*g), w
         )[0],
-        (q_prob_j, q_xyz_j, nei) + gt,
+        (q_prob_j, q_xyz_j, nei, weights) + gt,
         iters=3,
     ),
 )
 
-# prepare_queries only
+# prepare_queries only (cell sort + tile corner keys)
 p(
     "prepare_queries (once/frame)",
     device_time(
-        lambda i, qx: nn_match.prepare_queries(perturb(i, qx), q_valid, lidal.DIS_THRESH).s_xyz,
+        lambda i, qx: nn_match.prepare_queries(perturb(i, qx), q_valid, lidal.DIS_THRESH).q_t,
         (q_xyz_j,),
         iters=10,
     ),
 )
 
 pq = jax.jit(nn_match.prepare_queries, static_argnums=2)(q_xyz_j, q_valid, lidal.DIS_THRESH)
+pqt = tuple(pq)
 
 
-# bounds for 24 neighbors (scan like the scorer)
-def bounds24(i, ph, pl_lo, *g):
-    qh2 = jnp.concatenate([ph + (i & 1), ph + (i & 1)], axis=0)
-    ql2 = jnp.concatenate([pl_lo, pl_lo + 3], axis=0)
-
-    def body(c, gg):
-        b = lower_bound_sorted_many(gg.key_hi, gg.key_lo, qh2, ql2)
-        return c + b[0, 0], None
-
-    acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), nn_match.HashGrid(*g))
-    return acc
+# band bounds for all 24 neighbors (2 binary searches per tile per neighbor)
+def bounds24(i, *args):
+    g = nn_match.HashGrid(*args[: len(gt)])
+    pq2 = nn_match.PreparedQueries(*args[len(gt) :])
+    pq2 = pq2._replace(kmin_hi=pq2.kmin_hi + (i & 1))
+    blo, nb = nn_match.band_bounds(g, pq2)
+    return blo[0, 0] + nb[0, 0]
 
 
-p("bounds only x24 (scan)", device_time(bounds24, (pq.ph, pq.pl_lo) + gt, iters=3))
+p("band_bounds x24", device_time(bounds24, gt + pqt, iters=10))
 
 
-# full nn_query x24
-def nn24(i, qx, *g):
+# band kernel for all 24 neighbors (one launch)
+def band24(i, qx, *g):
     pq2 = nn_match.prepare_queries(perturb(i, qx), q_valid, lidal.DIS_THRESH)
-
-    def body(c, gg):
-        d, s_, f, o = nn_match.nn_query_prepared(gg, pq2)
-        return c + d[0], None
-
-    acc, _ = jax.lax.scan(body, jnp.zeros(()), nn_match.HashGrid(*g))
-    return acc
+    d2, row = nn_match.nn_query_band(nn_match.HashGrid(*g), pq2)
+    return d2[0, 0] + row[0, 0].astype(jnp.float32)
 
 
-p("nn_query x24 (scan, incl prep)", device_time(nn24, (q_xyz_j,) + gt, iters=3))
+p("nn_query_band x24 (incl prep+bounds)", device_time(band24, (q_xyz_j,) + gt, iters=3))
 
 
 # KL + prob gather accumulation only (fake nn results)
 def kl24(i, qp, nei_):
-    nn_src = jnp.arange(P, dtype=jnp.int32)
+    nn_row = jnp.arange(P, dtype=jnp.int32)
 
     def body(c, nprob):
-        npb = nprob[nn_src]
+        npb = nprob[nn_row]
         qe = qp + lidal.EPSILON + (i & 1).astype(qp.dtype) * 1e-30
         ne = npb + lidal.EPSILON
-        kl = jnp.sum(qe * jnp.log(qe / ne) - qe + ne, axis=-1)
+        kl = jnp.sum(qe * (jnp.log(qe) - jnp.log(ne)) - qe + ne, axis=-1)
         return c + kl[0], None
 
     acc, _ = jax.lax.scan(body, jnp.zeros(()), nei_)
