@@ -31,6 +31,13 @@ from jax.experimental.pallas import tpu as pltpu
 # traced constants)
 _SENT = 2**31 - 1
 
+# Dense-output strategy: the serial per-row masked-store loop (False) costs
+# ~0.3 ms of the ~0.42 ms per stream (r sequential iterations); the vectorized
+# path (True) rotates ALL rows at once (one lane dynamic_gather) and places
+# them with a one-hot row-assignment MATMUL — exact, since packed values fit
+# 23 bits < f32's 24-bit mantissa and one-hot rows sum disjoint slots.
+MATMUL_STORE = True
+
 
 def _roll(x, shift: int, axis: int):
     """Static roll.  Sublane (axis 0) rolls lower as two static slices + a
@@ -58,7 +65,7 @@ def _stage(eh, el, axis: int, bit: int):
     return jnp.where(take, ph, eh), jnp.where(take, pl_, el)
 
 
-def _make_kernel(r: int, n: int, m_pad: int, with_found: bool):
+def _make_kernel(r: int, n: int, m_pad: int, with_found: bool, matmul_store: bool):
     lp = r * 128
     vbits = max(1, n.bit_length())  # val in [0, n] fits (n < 2**bit_length)
     assert vbits + 8 <= 31, n  # (is_table, lane, val) packs into int32
@@ -131,27 +138,68 @@ def _make_kernel(r: int, n: int, m_pad: int, with_found: bool):
                 take = (sel_min & part_less) | (~sel_min & self_less)
                 pk = jnp.where(take, partner, pk)
 
-        vals_scr[:, :] = pk & ((1 << vbits) - 1)
-        pre_scr[:, :] = row_pre.astype(jnp.int32)
+        vals = pk & ((1 << vbits) - 1)  # [r, 128]; row-front in rank order
 
-        # Dense output: row r's queries start at flat position
-        # qs = r*128 - table_prefix(r).  Unaligned lane stores are not a thing,
-        # so each row rotates by qs%128 and lands as TWO masked row-aligned
-        # stores; the garbage tail past the row's query count is overwritten by
-        # the following rows' stores (sequential loop).
+        # Row r's queries start at flat position qs = r*128 - table_prefix(r);
+        # rows holding only pad/sentinel query ranks (>= m) clamp into the
+        # margin rows and never touch real slots.
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+        qs = jnp.minimum(r_iota * 128 - row_pre.astype(jnp.int32), m_pad - 256)
+        a = qs >> 7  # [r, 1] first output row
+        b = qs - (a << 7)  # [r, 1] lane offset within it
+        cntq = (128.0 - row_tot).astype(jnp.int32)  # [r, 1] queries in the row
+
+        if matmul_store:
+            # Rotate every row by its own b in ONE lane gather (value index i
+            # -> lane (i + b) % 128), mask to the exact per-row valid spans
+            # (flat slots are globally unique, so masked pieces are disjoint
+            # and may be SUMMED), then place rows with a one-hot assignment
+            # matmul: out[o] = sum_r (a[r] == o) * loPart[r] + (a[r]+1 == o)
+            # * hiPart[r].  Exact: vals < 2**23 <= f32 mantissa.
+            idx = (lane - b) & 127  # [r, 128]; also the pre-rotation index
+            rolled = jnp.take_along_axis(vals, idx, axis=1)
+            valid = idx < cntq
+            m1 = jnp.where(valid & (lane >= b), rolled, 0).astype(jnp.float32)
+            m2 = jnp.where(valid & (lane < b), rolled, 0).astype(jnp.float32)
+            a_t = jnp.swapaxes(a, 0, 1).astype(jnp.float32)  # [1, r]
+            rows_out = m_pad // 128
+            chunk = 256
+            o0 = 0
+            while o0 < rows_out:
+                oc = min(chunk, rows_out - o0)
+                oid = (
+                    jax.lax.broadcasted_iota(jnp.int32, (oc, 1), 0) + o0
+                ).astype(jnp.float32)
+                p1 = (a_t == oid).astype(jnp.float32)  # [oc, r]
+                p2 = (a_t == oid - 1.0).astype(jnp.float32)
+                outc = jax.lax.dot_general(
+                    p1, m1, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    p2, m2, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                out_ref[0, o0 : o0 + oc, :] = outc.astype(jnp.int32)
+                o0 += oc
+            return
+
+        vals_scr[:, :] = vals
+        pre_scr[:, :] = qs
+
+        # Serial fallback: each row rotates by qs%128 and lands as TWO masked
+        # row-aligned stores; the garbage tail past the row's query count is
+        # overwritten by the following rows' stores (sequential loop).
         lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
         def store_row(r_, _):
-            # clamp: rows holding only pad/sentinel query ranks (>= m) park in
-            # the margin rows and never touch real slots
-            qs = jnp.minimum(r_ * 128 - pre_scr[r_, 0], m_pad - 256)
-            a = qs // 128
-            b = qs - a * 128
+            qs_r = pre_scr[r_, 0]
+            a_r = qs_r // 128
+            b_r = qs_r - a_r * 128
             row = vals_scr[pl.ds(r_, 1), :]  # [1, 128]
-            rot = pltpu.roll(row, b, 1)  # value i -> lane (i + b) % 128
-            first = lane1 >= b
-            pltpu.store(out_ref.at[0, pl.ds(a, 1), :], rot, mask=first)
-            pltpu.store(out_ref.at[0, pl.ds(a + 1, 1), :], rot, mask=~first)
+            rot = pltpu.roll(row, b_r, 1)  # value i -> lane (i + b) % 128
+            first = lane1 >= b_r
+            pltpu.store(out_ref.at[0, pl.ds(a_r, 1), :], rot, mask=first)
+            pltpu.store(out_ref.at[0, pl.ds(a_r + 1, 1), :], rot, mask=~first)
             return 0
 
         jax.lax.fori_loop(0, r, store_row, 0)
@@ -174,7 +222,7 @@ def merge_rank_pallas(
     order, which equals their original index — no scatter needed anywhere."""
     g, r, _ = eh3.shape
     m_pad = -(-m // 128) * 128 + 256  # two rows of store margin
-    kernel = _make_kernel(r, n, m_pad, with_found)
+    kernel = _make_kernel(r, n, m_pad, with_found, MATMUL_STORE)
     out = pl.pallas_call(
         kernel,
         grid=(g,),
