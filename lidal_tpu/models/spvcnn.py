@@ -26,7 +26,11 @@ from lidal_tpu.models.layers import (
     UpBlock,
 )
 from lidal_tpu.models.minkunet import CS
-from lidal_tpu.ops.devoxelize import PointPlan, devoxelize_trilinear, point_to_voxel_avg
+from lidal_tpu.ops.devoxelize import (
+    PointPlan,
+    devoxelize_trilinear_batched,
+    point_to_voxel_avg_batched,
+)
 from lidal_tpu.ops.kernel_map import UNetPlan
 
 
@@ -63,10 +67,7 @@ class SPVCNN(nn.Module):
         dn = plan.downs
         valid0 = lv[0].valid
 
-        from lidal_tpu.ops.batching import map_frames
-
-        tri = lambda vf, tm: map_frames(devoxelize_trilinear, vf, tm)  # noqa: E731
-        p2v = lambda pf, am: map_frames(point_to_voxel_avg, pf, am)  # noqa: E731
+        tri = devoxelize_trilinear_batched
 
         # Stem at level 0; z0 = voxel_to_point at stride 1 == identity (spvcnn.py:116-120).
         x0 = ConvBlock(cs[0], ax)(feats, lv[0], train)
@@ -96,7 +97,7 @@ class SPVCNN(nn.Module):
             return x
 
         # y1 = point_to_voxel(x4, z1) -> dropout -> up1 (spvcnn.py:130-134)
-        y1 = p2v(z1, pplan.avg4)
+        y1 = point_to_voxel_avg_batched(z1, dn, pplan.avg4, levels=4)
         y1 = nn.Dropout(self.dropout_rate, deterministic=not train)(y1)
         y1 = up(y1, x3, 3, cs[5], lv[3])
         y2 = up(y1, x2, 2, cs[6], lv[2])
@@ -105,7 +106,7 @@ class SPVCNN(nn.Module):
         z2 = tri(y2, pplan.tri2) + PointTransform(cs[6], ax)(z1, valid0, train)
 
         # y3 = point_to_voxel(y2, z2) -> dropout -> up3 (spvcnn.py:142-146)
-        y3 = p2v(z2, pplan.avg2)
+        y3 = point_to_voxel_avg_batched(z2, dn, pplan.avg2, levels=2)
         y3 = nn.Dropout(self.dropout_rate, deterministic=not train)(y3)
         y3 = up(y3, x1, 1, cs[7], lv[1])
         y4 = up(y3, x0, 0, cs[8], lv[0])

@@ -13,6 +13,7 @@ cannot ship green.  Oracles:
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -464,3 +465,121 @@ def test_nnband_random_sweep_kernel_bitwise(seed):
     x_d2, x_row = pnnband.nn_band_xla(gs.planar, pq.q_t, blo, nb)
     np.testing.assert_array_equal(np.asarray(k_d2), np.asarray(x_d2))
     np.testing.assert_array_equal(np.asarray(k_row), np.asarray(x_row))
+
+
+# --------------------------------------------------------------------------------------
+# pallas_gather8: banded weighted 8-tap gather (SPVCNN point branch) vs XLA oracle
+# --------------------------------------------------------------------------------------
+
+
+@pytest.fixture
+def pallas_gather8_on(monkeypatch):
+    import lidal_tpu.ops.pallas_gather8 as pg8
+
+    monkeypatch.setattr(
+        pg8, "gather8_pallas", functools.partial(pg8.gather8_pallas, interpret=True)
+    )
+    import lidal_tpu.ops.conv as conv_mod
+
+    monkeypatch.setattr(conv_mod, "USE_PALLAS", True)
+
+
+def _gather8_oracle(feats, nbr, w8):
+    fx = np.concatenate([feats, np.zeros((1, feats.shape[1]), np.float32)])
+    return np.einsum("mk,mkc->mc", w8, fx[nbr])
+
+
+@pytest.mark.parametrize(
+    "seed,n,m,c,density",
+    [
+        (0, 256, 256, 32, 0.9),
+        (1, 512, 256, 96, 0.5),  # sparse columns, sentinel tails
+        (2, 256, 512, 128, 1.0),  # m > n (tri maps: many points per voxel)
+        (3, 256, 256, 8, 0.0),  # all-sentinel: exact zeros
+        (4, 1024, 512, 64, 0.7),
+    ],
+)
+def test_gather8_matches_oracle(pallas_gather8_on, seed, n, m, c, density):
+    from lidal_tpu.ops.pallas_gather8 import gather8_pallas
+
+    rng = np.random.default_rng(seed)
+    feats = _int_feats(rng, n, c)
+    nbr = _sorted_nbr(rng, m, 8, n, density)
+    w8 = rng.integers(0, 5, size=(m, 8)).astype(np.float32) / 4.0  # bf16-exact weights
+    got = np.asarray(gather8_pallas(jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(w8)))
+    want = _gather8_oracle(feats, nbr, w8)
+    np.testing.assert_array_equal(got, want)  # integer data + quarter weights: exact
+
+
+def test_gather8_float_weights_close(pallas_gather8_on):
+    from lidal_tpu.ops.pallas_gather8 import gather8_pallas
+
+    rng = np.random.default_rng(7)
+    n, m, c = 512, 512, 96
+    feats = rng.standard_normal((n, c)).astype(np.float32)
+    nbr = _sorted_nbr(rng, m, 8, n, 0.8)
+    w8 = rng.random((m, 8)).astype(np.float32)
+    got = np.asarray(gather8_pallas(jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(w8)))
+    # oracle on bf16-rounded features, f32 weights — the kernel's exact contract
+    fb = np.asarray(jnp.asarray(feats).astype(jnp.bfloat16)).astype(np.float32)
+    want = _gather8_oracle(fb, nbr, w8)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_gather8_grad_matches_oracle(pallas_gather8_on):
+    """The custom VJP's d/dfeats equals the XLA oracle's (weights are plan
+    data: their cotangent is zero by contract)."""
+    from lidal_tpu.ops.pallas_gather8 import gather8
+
+    rng = np.random.default_rng(9)
+    n, m, c = 256, 256, 32
+    feats = jnp.asarray(_int_feats(rng, n, c))
+    nbr = jnp.asarray(_sorted_nbr(rng, m, 8, n, 0.8))
+    w8 = jnp.asarray((rng.integers(0, 5, size=(m, 8)) / 4.0).astype(np.float32))
+    cot = jnp.asarray(_int_feats(rng, m, c))
+
+    got = jax.grad(lambda f: (gather8(f, nbr, w8) * cot).sum())(feats)
+
+    def oracle(f):
+        fx = jnp.concatenate([f, jnp.zeros((1, c))])
+        return (jnp.einsum("mk,mkc->mc", w8, fx[nbr]) * cot).sum()
+
+    want = jax.grad(oracle)(feats)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+
+def test_spvcnn_point_ops_batched_match_per_frame(pallas_gather8_on):
+    """devoxelize_trilinear_batched + point_to_voxel_avg_batched (Pallas path,
+    interpret) vs the per-frame XLA formulations on a real synthetic plan."""
+    from lidal_tpu.data.pipeline import prepare_eval_batch
+    from lidal_tpu.ops.batching import map_frames
+    from lidal_tpu.ops.devoxelize import (
+        devoxelize_trilinear,
+        devoxelize_trilinear_batched,
+        point_to_voxel_avg,
+        point_to_voxel_avg_batched,
+    )
+
+    rng = np.random.default_rng(3)
+    B, P = 2, 2048
+    caps = (2048, 1024, 512, 256, 256)
+    xyz = (rng.random((B, P, 3)) * 10.0).astype(np.float32)
+    sig = rng.random((B, P)).astype(np.float32)
+    valid = np.ones((B, P), bool)
+    valid[:, 1900:] = False
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    eb = prepare_eval_batch(
+        keys, jnp.asarray(xyz), jnp.asarray(sig), jnp.asarray(valid),
+        level_caps=caps, with_points=True,
+    )
+    c = 16
+    vf4 = jnp.asarray(rng.standard_normal((B, caps[4], c)).astype(np.float32))
+    got = devoxelize_trilinear_batched(vf4, eb.pplan.tri4)
+    want = map_frames(devoxelize_trilinear, vf4, eb.pplan.tri4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-2, atol=1e-2)
+
+    pf = jnp.asarray(rng.standard_normal((B, caps[0], c)).astype(np.float32))
+    pf = pf * np.asarray(eb.plan.levels[0].valid)[:, :, None]
+    got = point_to_voxel_avg_batched(pf, eb.plan.downs, eb.pplan.avg4, levels=4)
+    want = map_frames(point_to_voxel_avg, pf, eb.pplan.avg4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-2, atol=1e-2)
