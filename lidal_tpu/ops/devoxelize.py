@@ -20,7 +20,6 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from lidal_tpu.ops.hashing import pack_keys, lookup
 from lidal_tpu.ops.kernel_map import OFFSETS2, UNetPlan
 from lidal_tpu.ops.voxelize import append_zero_row
 
@@ -48,21 +47,32 @@ class PointPlan(NamedTuple):
     avg4: AvgMap
 
 
-def _build_tri(coords0, valid0, level_coords, level_valid, lshift: int) -> TriMap:
-    """Corners floor(c / 2^l) + delta, weights prod(delta ? u : 1-u), u = frac(c / 2^l)."""
+# Corner offsets {0,1}^3 as tap indices into the x-major OFFSETS3 ({-1,0,1}^3)
+# enumeration: tap(d) = (dx+1)*9 + (dy+1)*3 + (dz+1).
+_TAP8 = tuple((dx + 1) * 9 + (dy + 1) * 3 + (dz + 1) for dx, dy, dz in OFFSETS2)
+
+
+def _build_tri(coords0, valid0, anc, level_nbr3, lshift: int) -> TriMap:
+    """Corners floor(c / 2^l) + delta, weights prod(delta ? u : 1-u), u = frac(c / 2^l).
+
+    The corner at offset d of point p is a kernel-3 neighbor of p's level-l
+    ancestor voxel (base coords == the ancestor's coords), so ``idx8`` composes
+    the ancestor chain with the level's existing submanifold rulebook —
+    ``nbr3[anc[p], tap(d)]`` — instead of 8 hash lookups per point (the
+    binary-search formulation cost ~1.7 s/batch, 80% of SPVCNN's runtime).
+    """
     s = 1 << lshift
-    base = coords0 >> lshift  # [cap0, 3]
     u = (coords0 & (s - 1)).astype(jnp.float32) / float(s)  # [cap0, 3]
-    offs = jnp.asarray(OFFSETS2, jnp.int32)  # [8, 3], d = (dx<<2)|(dy<<1)|dz
-    corners = base[:, None, :] + offs[None, :, :]  # [cap0, 8, 3]
-    t_hi, t_lo = pack_keys(level_coords, level_valid)
-    q_hi, q_lo = pack_keys(corners, valid0[:, None])
-    idx8 = lookup(t_hi, t_lo, q_hi, q_lo)  # [cap0, 8]
-    offs_f = offs.astype(jnp.float32)
+    cap_l = level_nbr3.shape[0]
+    # sentinel ancestor (== cap_l) gathers the appended all-sentinel row
+    nbr_ext = jnp.concatenate(
+        [level_nbr3, jnp.full((1, level_nbr3.shape[1]), cap_l, jnp.int32)]
+    )
+    idx8 = nbr_ext[anc][:, jnp.asarray(_TAP8, jnp.int32)]  # [cap0, 8]
+    offs_f = jnp.asarray(OFFSETS2, jnp.float32)  # [8, 3], d = (dx<<2)|(dy<<1)|dz
     w = jnp.prod(
         jnp.where(offs_f[None] > 0, u[:, None, :], 1.0 - u[:, None, :]), axis=-1
     )  # [cap0, 8]
-    cap_l = level_coords.shape[0]
     w = jnp.where((idx8 < cap_l) & valid0[:, None], w, 0.0)
     return TriMap(idx8=idx8.astype(jnp.int32), w8=w.astype(jnp.float32))
 
@@ -90,8 +100,8 @@ def build_point_plan_frame(plan_levels, plan_downs) -> PointPlan:
         )
         return AvgMap(anc=ancs[l], counts=counts)
 
-    tri2 = _build_tri(coords0, valid0, plan_levels[2].coords, plan_levels[2].valid, 2)
-    tri4 = _build_tri(coords0, valid0, plan_levels[4].coords, plan_levels[4].valid, 4)
+    tri2 = _build_tri(coords0, valid0, ancs[2], plan_levels[2].nbr3, 2)
+    tri4 = _build_tri(coords0, valid0, ancs[4], plan_levels[4].nbr3, 4)
     return PointPlan(tri2=tri2, tri4=tri4, avg2=avg_map(2), avg4=avg_map(4))
 
 
