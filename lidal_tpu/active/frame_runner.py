@@ -59,6 +59,21 @@ def _frame_names(d: str) -> List[str]:
     return sorted(f[:-4] for f in os.listdir(d) if f.endswith(".npy"))
 
 
+def _readahead(paths: Sequence[str], depth: int = 4):
+    """Threaded np.load readahead: yields arrays in order while the next
+    ``depth`` files load in the background (the scoring loops are IO-bound on
+    ~9 MB per-frame prob dumps; matches prob_inference's readahead pattern)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        pending = [ex.submit(np.load, p) for p in paths[:depth]]
+        for i in range(len(paths)):
+            arr = pending[i].result()
+            if i + depth < len(paths):
+                pending.append(ex.submit(np.load, paths[i + depth]))
+            yield arr
+
+
 def run_frame_metric_round(
     cfg: RunConfig,
     metric: str,  # 'ENT' | 'MAR' | 'CONF' | 'SEGENT' | 'CSET' | 'RAND'
@@ -81,9 +96,8 @@ def run_frame_metric_round(
         feats = []
         for seq in split:
             d = _prev_dir(cfg, "outfeat", seq, metric)
-            for name in _frame_names(d):
-                of = np.load(os.path.join(d, f"{name}.npy"))
-                feats.append(of.mean(0))
+            fps = [os.path.join(d, f"{n}.npy") for n in _frame_names(d)]
+            feats.extend(of.mean(0) for of in _readahead(fps))
         new_flags = fl.core_set_select(np.stack(feats), flags)
         _save_flags(cfg, metric, split, new_flags, offsets)
         return new_flags
@@ -92,19 +106,28 @@ def run_frame_metric_round(
     for seq in split:
         if metric in ("ENT", "MAR", "CONF"):
             d = _prev_dir(cfg, "prob", seq, metric)
-            for name in _frame_names(d):
-                prob = jnp.asarray(np.load(os.path.join(d, f"{name}.npy")))
-                if metric == "ENT":
-                    scores.append(float(fl.entropy_score(prob)))
-                elif metric == "MAR":
-                    scores.append(float(fl.margin_score(prob)))
-                else:
-                    scores.append(float(fl.least_confidence_score(prob)))
+            fps = [os.path.join(d, f"{n}.npy") for n in _frame_names(d)]
+            score_fn = {
+                "ENT": fl.entropy_score,
+                "MAR": fl.margin_score,
+                "CONF": fl.least_confidence_score,
+            }[metric]
+            # one-deep dispatch pipeline: frame i's device score is pulled
+            # while frame i+1's file loads (readahead) and kernel runs
+            pending = None
+            for prob in _readahead(fps):
+                out = score_fn(jnp.asarray(prob))
+                if pending is not None:
+                    scores.append(float(pending))
+                pending = out
+            if pending is not None:
+                scores.append(float(pending))
         elif metric == "SEGENT":
             d = _prev_dir(cfg, "pred", seq, metric)
             svi_dir = Paths(cfg).supervoxel_dir(seq, "KMeans")
-            for name in _frame_names(d):
-                pred = np.load(os.path.join(d, f"{name}.npy"))
+            names = _frame_names(d)
+            fps = [os.path.join(d, f"{n}.npy") for n in names]
+            for name, pred in zip(names, _readahead(fps)):
                 point2sv, _ = load_sv_info(os.path.join(svi_dir, f"{name}.npz"))
                 scores.append(fl.segment_entropy_score(pred, point2sv, cfg.data.num_classes))
         else:
