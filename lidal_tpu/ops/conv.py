@@ -106,13 +106,20 @@ def _subm_conv_bwd(res, dy):
     #       = sum_k' dY[nbr[j, k']] @ W[K-1-k']^T   (k' = K-1-k)
     w_flip_t = jnp.flip(w, axis=0).swapaxes(1, 2)  # [K, cout, cin]
     if _pallas_ok(dy, nbr, 3):
-        dfeats = _conv_via_pallas(dy, w_flip_t, nbr, groups=3)
+        # One banded pass for BOTH grads.  dW via the mirror identity
+        # (nbr[i,k] == j  <=>  nbr[j,K-1-k] == i on the shared coord set):
+        # dW[k] = sum_i X[nbr[i,k]]^T dY[i] = sum_j X[j]^T dY[nbr[j,K-1-k]].
+        from lidal_tpu.ops.pallas_conv import conv_dx_dw_pallas
+
+        dfeats, dwg = conv_dx_dw_pallas(dy, w_flip_t, nbr, feats, groups=3)
+        dfeats = dfeats.astype(feats.dtype)
+        dw = jnp.flip(dwg, axis=0)
     else:
-        dfeats = _gather_im2col(dy, nbr) @ w_flip_t.reshape(k * cout, cin)
-    # dW[k] = sum_i X[nbr[i, k]]^T dY[i]; invalid rows gather zeros on both sides.
-    g = append_zero_row(feats)[nbr]  # [cap, K, cin]
-    dw = jnp.einsum("ikc,io->kco", g, dy)
-    return dfeats.astype(feats.dtype), dw.astype(w.dtype), None
+        dfeats = (_gather_im2col(dy, nbr) @ w_flip_t.reshape(k * cout, cin)).astype(feats.dtype)
+        # dW[k] = sum_i X[nbr[i, k]]^T dY[i]; invalid rows gather zeros on both sides.
+        g = append_zero_row(feats)[nbr]  # [cap, K, cin]
+        dw = jnp.einsum("ikc,io->kco", g, dy)
+    return dfeats, dw.astype(w.dtype), None
 
 
 subm_conv.defvjp(_subm_conv_fwd, _subm_conv_bwd)
@@ -146,16 +153,21 @@ def _down_conv_bwd(res, dy):
     feats, w, child, parent, pdelta = res
     # dX[f] = dY[parent[f]] @ W[pdelta[f]]^T: the up-conv gather structure.
     if _pallas_ok(dy, child, 2) and parent.shape[0] % 256 == 0:
+        # child[o, d] == f  <=>  nbr_up[f, d] == o, so the SAME banded pass
+        # yields dW[d] = sum_o X[child[o,d]]^T dY[o] = sum_f X[f]^T dY[nbr_up[f,d]].
+        from lidal_tpu.ops.pallas_conv import conv_dx_dw_pallas
+
         nbr_up = _up_nbr(parent, pdelta, w.shape[0], dy.shape[0])
-        dfeats = _conv_via_pallas(dy, w.swapaxes(1, 2), nbr_up, groups=2)
+        dfeats, dw = conv_dx_dw_pallas(dy, w.swapaxes(1, 2), nbr_up, feats, groups=2)
+        dfeats = dfeats.astype(feats.dtype)
     else:
         dyx = append_zero_row(dy)  # [capc+1, cout]
         tmp = jnp.einsum("no,dco->dnc", dyx, w)  # [8, capc+1, cin]
-        dfeats = tmp[pdelta, parent]  # [capf, cin]
-    # dW[d] = sum_o X[child[o, d]]^T dY[o]
-    g = append_zero_row(feats)[child]  # [capc, 8, cin]
-    dw = jnp.einsum("okc,oi->kci", g, dy)
-    return dfeats.astype(feats.dtype), dw.astype(w.dtype), None, None, None
+        dfeats = tmp[pdelta, parent].astype(feats.dtype)  # [capf, cin]
+        # dW[d] = sum_o X[child[o, d]]^T dY[o]
+        g = append_zero_row(feats)[child]  # [capc, 8, cin]
+        dw = jnp.einsum("okc,oi->kci", g, dy)
+    return dfeats, dw.astype(w.dtype), None, None, None
 
 
 down_conv.defvjp(_down_conv_fwd, _down_conv_bwd)
@@ -195,15 +207,20 @@ def _up_conv_bwd(res, dy):
     k, cin, cout = w.shape
     # dX[c] = sum_{f: parent[f]=c} dY[f] @ W[pdelta[f]]^T — the down-conv gather.
     if _pallas_ok(dy, child, 2):
-        dfeats = _conv_via_pallas(dy, w.swapaxes(1, 2), child, groups=2)
+        # (parent[f]=c, pdelta[f]=d)  <=>  child[c, d] == f, so
+        # dW[d] = sum_f X[parent[f], pdelta=d]^T dY[f] = sum_c X[c]^T dY[child[c,d]].
+        from lidal_tpu.ops.pallas_conv import conv_dx_dw_pallas
+
+        dfeats, dw = conv_dx_dw_pallas(dy, w.swapaxes(1, 2), child, feats, groups=2)
+        dfeats = dfeats.astype(feats.dtype)
     else:
         g = _gather_im2col(dy, child)  # [capc, 8*cout]
-        dfeats = g @ w.swapaxes(1, 2).reshape(k * cout, cin)
-    # dW[d] = sum_{f: pdelta[f]=d} X[parent[f]]^T dY[f]
-    fp = append_zero_row(feats)[parent]  # [capf, cin]; sentinel rows -> zeros
-    onehot = jax.nn.one_hot(pdelta, k, dtype=dy.dtype) * (parent < feats.shape[0])[:, None]
-    dw = jnp.einsum("fd,fc,fo->dco", onehot, fp, dy)
-    return dfeats.astype(feats.dtype), dw.astype(w.dtype), None, None, None
+        dfeats = (g @ w.swapaxes(1, 2).reshape(k * cout, cin)).astype(feats.dtype)
+        # dW[d] = sum_{f: pdelta[f]=d} X[parent[f]]^T dY[f]
+        fp = append_zero_row(feats)[parent]  # [capf, cin]; sentinel rows -> zeros
+        onehot = jax.nn.one_hot(pdelta, k, dtype=dy.dtype) * (parent < feats.shape[0])[:, None]
+        dw = jnp.einsum("fd,fc,fo->dco", onehot, fp, dy)
+    return dfeats, dw.astype(w.dtype), None, None, None
 
 
 up_conv.defvjp(_up_conv_fwd, _up_conv_bwd)

@@ -42,6 +42,11 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_M = 256  # output rows per grid step
 TILE_N = 256  # feature-table rows per DMA block
 
+# Wide convs (e.g. post-concat 384-channel ResidualBlocks) carry VMEM-resident
+# whole-weight operands + (for the backward) a whole-dW accumulator; the
+# default 16 MiB scoped-vmem budget OOMs there.  v5e has 128 MiB of VMEM.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 
 def _make_kernel(k: int, cin: int, cout: int, groups: int):
     gsize = k // groups
@@ -147,6 +152,200 @@ def _make_kernel(k: int, cin: int, cout: int, groups: int):
     return _kernel
 
 
+def _make_dx_dw_kernel(k: int, c_src: int, c_dst: int, c_f: int, groups: int):
+    """Combined backward kernel: per-tap banded gather of ``src`` feeding BOTH
+    the input gradient (apply w2 per tap) and the weight gradient
+    (f_tile^T @ gathered per tap, accumulated over tiles in a VMEM-resident
+    output).  The one-hot gather — the dominant VPU cost — is paid ONCE for
+    both gradients; the old XLA dW path materialized a [m, K, cin] row gather
+    (multi-GB per conv at SemanticKITTI scale)."""
+    gsize = k // groups
+
+    def _kernel(
+        lo_ref, nb_ref, nbr_ref, w_ref, f_ref, src_hbm, dx_ref, dw_ref, heads, tails, hsem, tsem
+    ):
+        t = pl.program_id(0)
+        nt = pl.num_programs(0)
+        nbr_tile = nbr_ref[:]  # [T, K] int32
+        iota_n = jax.lax.broadcasted_iota(jnp.int32, (TILE_M, TILE_N), 1)
+        acc = jnp.zeros((TILE_M, c_dst), jnp.float32)
+        # f arrives PRE-TRANSPOSED [c_f, T]: the dW contraction then runs in
+        # native MXU orientation (lhs lanes x rhs sublanes).  Contracting the
+        # sublane dim of both operands made Mosaic relayout per (block, tap)
+        # and the compile never terminated.
+        f_t = f_ref[:]  # [c_f, T] bf16
+        f_b = jnp.broadcast_to(f_t[None], (gsize, c_f, TILE_M))
+
+        @pl.when(t == 0)
+        def _():
+            dw_ref[:] = jnp.zeros_like(dw_ref)
+
+        def head_dma(g, tt):
+            return pltpu.make_async_copy(
+                src_hbm.at[pl.ds(lo_ref[g, tt] * TILE_N, TILE_N)],
+                heads.at[g, jax.lax.rem(tt, 2)],
+                hsem.at[g, jax.lax.rem(tt, 2)],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            for g0 in range(groups):
+
+                @pl.when(nb_ref[g0, 0] > 0)
+                def _(g0=g0):
+                    head_dma(g0, 0).start()
+
+        for g in range(groups):
+            lo = lo_ref[g, t]
+            nblocks = nb_ref[g, t]
+            locals_g = nbr_tile[:, g * gsize : (g + 1) * gsize]
+            wg = w_ref[g * gsize : (g + 1) * gsize].astype(jnp.bfloat16)  # [gsize, c_src, c_dst]
+            tnext = jnp.minimum(t + 1, nt - 1)
+
+            @pl.when((t + 1 < nt) & (nb_ref[g, tnext] > 0))
+            def _(g=g, tnext=tnext):
+                head_dma(g, tnext).start()
+
+            def tail_dma(bi, lo=lo):
+                slot = (bi - 1) & 1
+                return pltpu.make_async_copy(
+                    src_hbm.at[pl.ds((lo + bi) * TILE_N, TILE_N)],
+                    tails.at[slot],
+                    tsem.at[slot],
+                )
+
+            @pl.when(nblocks > 1)
+            def _(tail_dma=tail_dma):
+                tail_dma(1).start()
+
+            def body(bi, carry, g=g, lo=lo, nblocks=nblocks, locals_g=locals_g, wg=wg, tail_dma=tail_dma):
+                acc, acc_dw = carry
+
+                @pl.when((bi >= 1) & (bi + 1 < nblocks))
+                def _():
+                    tail_dma(bi + 1).start()
+
+                @pl.when(bi == 0)
+                def _():
+                    head_dma(g, t).wait()
+
+                @pl.when(bi > 0)
+                def _():
+                    tail_dma(bi).wait()
+
+                hblk = heads[g, jax.lax.rem(t, 2)][:, :c_src]
+                tblk = tails[(bi - 1) & 1][:, :c_src]
+                blk = jnp.where(bi == 0, hblk, tblk)  # [TN, c_src] bf16
+                onehot = jnp.stack(
+                    [
+                        (locals_g[:, j][:, None] - (lo + bi) * TILE_N == iota_n).astype(
+                            jnp.bfloat16
+                        )
+                        for j in range(gsize)
+                    ],
+                    axis=0,
+                )  # [gsize, T, TN]
+                gathered = jax.lax.dot_general(
+                    onehot,
+                    jnp.broadcast_to(blk[None], (gsize, TILE_N, c_src)),
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)  # [gsize, T, c_src]: per-tap src rows
+                part = jax.lax.dot_general(
+                    gathered,
+                    wg,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [gsize, T, c_dst]
+                dwp = jax.lax.dot_general(
+                    f_b,
+                    gathered,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [gsize, c_f, c_src]
+                return acc + part.sum(axis=0), acc_dw + dwp
+
+            acc, acc_dw = jax.lax.fori_loop(
+                0, nblocks, body, (acc, jnp.zeros((gsize, c_f, c_src), jnp.float32))
+            )
+            # one static-slice RMW per (tile, group) — keeping the RMW out of
+            # the fori_loop body (Mosaic compile blew up on in-loop ref updates
+            # to the grid-revisited output block)
+            dw_ref[g * gsize : (g + 1) * gsize] += acc_dw
+        dx_ref[:] = acc
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "interpret"))
+def conv_dx_dw_pallas(
+    src: jnp.ndarray,  # [n, c_src] (dy of the forward conv)
+    w2: jnp.ndarray,  # [K, c_src, c_dst] (transposed/flipped weights)
+    nbr: jnp.ndarray,  # [m, K] banded map, sentinel = n
+    f: jnp.ndarray,  # [m, c_f] (forward input features at the map's rows)
+    groups: int,
+    interpret: bool = False,
+):
+    """One banded pass producing BOTH backward products:
+
+      dx[i]  = sum_k src[nbr[i, k]] @ w2[k]                    -> [m, c_dst] f32
+      dwg[k] = sum_i f[i]^T src[nbr[i, k]]                     -> [K, c_f, c_src] f32
+
+    Callers recover dW from ``dwg`` via the mirror/pairing identity of their
+    map (subm: dW[k] = dwg[K-1-k]; down/up: dW[d] = dwg[d]) — see ops/conv.py.
+    """
+    n, c_src = src.shape
+    m, k = nbr.shape
+    assert m % TILE_M == 0 and n % TILE_N == 0, (m, n)
+    assert k % groups == 0, (k, groups)
+    assert f.shape[0] == m, (f.shape, m)
+    tiles = m // TILE_M
+    c_dst = w2.shape[2]
+    c_f = f.shape[1]
+
+    lo, nb = band_bounds(nbr, n, groups)
+
+    src = src.astype(jnp.bfloat16)
+    c_src_pad = -(-c_src // 128) * 128
+    if c_src_pad != c_src:
+        src = jnp.pad(src, ((0, 0), (0, c_src_pad - c_src)))
+    f = f.astype(jnp.bfloat16).T  # pre-transposed [c_f, m]; see kernel note
+    w2 = w2.astype(jnp.bfloat16)  # VMEM-resident whole: halve its footprint
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE_M, k), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2, whole
+            pl.BlockSpec((c_f, TILE_M), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # src stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_M, c_dst), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
+            # dW accumulator: one block revisited by every grid step
+            pl.BlockSpec((k, c_f, c_src), lambda t, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((groups, 2, TILE_N, c_src_pad), src.dtype),
+            pltpu.VMEM((2, TILE_N, c_src_pad), src.dtype),
+            pltpu.SemaphoreType.DMA((groups, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = _make_dx_dw_kernel(k, c_src, c_dst, c_f, groups)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((m, c_dst), jnp.float32),
+            jax.ShapeDtypeStruct((k, c_f, c_src), jnp.float32),
+        ],
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+    )(lo, nb, nbr, w2, f, src)
+
+
 def band_bounds(nbr: jnp.ndarray, n: int, groups: int):
     """Per-(tile, group) block bands over real (non-sentinel) indices.
 
@@ -189,6 +388,7 @@ def subm_conv_pallas(
     # bf16 feature table in HBM: halves the (dominant) band-DMA traffic; the
     # MXU consumes bf16 anyway and accumulation stays f32.
     feats = feats.astype(jnp.bfloat16)
+    w = w.astype(jnp.bfloat16)  # kernel consumed bf16 anyway; halve VMEM residency
     cin_pad = -(-cin // 128) * 128  # HBM DMA slices must be 128-lane aligned
     if cin_pad != cin:
         feats = jnp.pad(feats, ((0, 0), (0, cin_pad - cin)))
@@ -216,5 +416,6 @@ def subm_conv_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, cout), jnp.float32),
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(lo, nb, nbr, w, feats)

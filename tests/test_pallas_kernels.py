@@ -127,15 +127,25 @@ def test_conv_ops_route_through_pallas(monkeypatch):
     monkeypatch.setattr(
         pconv, "subm_conv_pallas", functools.partial(pconv.subm_conv_pallas, interpret=True)
     )
+    monkeypatch.setattr(
+        pconv, "conv_dx_dw_pallas", functools.partial(pconv.conv_dx_dw_pallas, interpret=True)
+    )
     rng = np.random.default_rng(30)
     n = m = 256
     cin, cout = 8, 8
 
-    # subm (27 taps, groups 3)
-    feats = _int_feats(rng, n, cin)
+    # subm (27 taps, groups 3) — the custom VJP's dX AND dW both rely on the
+    # mirror identity nbr[i,k]=j <=> nbr[j,K-1-k]=i, which only holds for
+    # coordinate-derived rulebooks: build one from real coords.
+    from lidal_tpu.ops.kernel_map import build_subm_nbr
+    from lidal_tpu.ops.voxelize import unique_voxels
+
+    coords = rng.integers(0, 8, size=(400, 3)).astype(np.int32)
+    uv = unique_voxels(jnp.asarray(coords), jnp.ones(400, bool), n)
+    nbr = np.asarray(build_subm_nbr(uv.coords, uv.valid))
+    feats = _int_feats(rng, n, cin) * np.asarray(uv.valid)[:, None]
     w = rng.integers(-3, 4, size=(27, cin, cout)).astype(np.float32)
-    nbr = _sorted_nbr(rng, m, 27, n, 0.6)
-    dy = _int_feats(rng, m, cout)
+    dy = _int_feats(rng, m, cout) * np.asarray(uv.valid)[:, None]
 
     def run(use_pallas):
         monkeypatch.setattr(conv_mod, "USE_PALLAS", use_pallas)
@@ -216,6 +226,34 @@ def test_conv_ops_route_through_pallas(monkeypatch):
 
     for a, b in zip(run_up(True), run_up(False)):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize(
+    "seed,n,m,c_src,c_dst,c_f,k,groups,density",
+    [
+        (40, 256, 256, 8, 16, 8, 27, 3, 0.8),
+        (41, 512, 256, 16, 8, 16, 27, 3, 0.4),
+        (42, 256, 512, 8, 8, 16, 8, 2, 1.0),
+        (43, 512, 512, 16, 16, 8, 8, 2, 0.0),  # all-sentinel: zero grads
+        (44, 768, 256, 8, 8, 8, 27, 3, 0.15),
+    ],
+)
+def test_conv_dx_dw_matches_oracle(seed, n, m, c_src, c_dst, c_f, k, groups, density):
+    """The combined backward kernel vs direct XLA formulations of both
+    products (integer data: bf16-exact, so parity is bitwise)."""
+    rng = np.random.default_rng(seed)
+    src = _int_feats(rng, n, c_src)
+    w2 = rng.integers(-3, 4, size=(k, c_src, c_dst)).astype(np.float32)
+    f = _int_feats(rng, m, c_f)
+    nbr = _sorted_nbr(rng, m, k, n, density)
+    dx, dwg = pconv.conv_dx_dw_pallas(
+        jnp.asarray(src), jnp.asarray(w2), jnp.asarray(nbr), jnp.asarray(f),
+        groups=groups, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(dx), _conv_oracle(src, w2, nbr))
+    sx = np.concatenate([src, np.zeros((1, c_src), np.float32)])
+    want_dwg = np.einsum("mf,mks->kfs", f, sx[nbr])
+    np.testing.assert_array_equal(np.asarray(dwg), want_dwg)
 
 
 # --------------------------------------------------------------------------------------
