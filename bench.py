@@ -76,9 +76,17 @@ def main() -> None:
 
     model = MinkUNet(num_classes=19)
 
+    # Optional activation dtype for the inference A/B (the conv kernels stage
+    # features in bf16 internally either way; this propagates bf16 BETWEEN
+    # layers too, halving inter-conv HBM traffic).  Default f32 = parity path.
+    import os
+
+    act_dtype = jnp.bfloat16 if os.environ.get("LIDAL_BENCH_DTYPE") == "bfloat16" else None
+
     def infer(variables, keys):
         eb = prepare_eval_batch(keys, xyz_j, sig_j, valid_j, level_caps=caps)
-        logits, _ = model.apply(variables, eb.feats, eb.plan, train=False)
+        feats = eb.feats.astype(act_dtype) if act_dtype else eb.feats
+        logits, _ = model.apply(variables, feats, eb.plan, train=False)
         return logits
 
     keys = jax.random.split(jax.random.PRNGKey(0), B)

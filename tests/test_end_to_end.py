@@ -117,3 +117,58 @@ def test_full_round(workdir):
     loader_ps = build_train_loader(cfg_ps)
     state_ps = run_train(cfg_ps, loader=loader_ps, max_iter=1)
     assert int(state_ps.step) == 1
+
+
+def test_full_round_spvcnn(tmp_path):
+    """The same round pipeline with the SPVCNN model (point-branch plans flow
+    through train/eval/prob-inference/scoring; two of the reference's four
+    released round-0 anchors are SPVCNN — README.md:88-92)."""
+    import dataclasses as dc
+
+    from lidal_tpu.active.lidal_runner import run_lidal_round
+    from lidal_tpu.cli.commands import evaluate_command, prob_inference_command
+    from lidal_tpu.data import semantic_kitti as sk
+    from lidal_tpu.data.selection import bootstrap_round0
+    from lidal_tpu.prep.grid import prepare_sk_grids
+    from lidal_tpu.prep.supervoxel_kmeans import prepare_supervoxels_kmeans
+    from lidal_tpu.runtime.train_loop import run_train
+
+    d = str(tmp_path / "mini_sk_spv")
+    make_mini_sk(d, seqs=("00",), frames_per_seq=4, points=600)
+    cfg = mini_cfg(d, seqs=("00",), model_name="SPVCNN", r_id=0,
+                   metric_name="LiDAL", label_unit="sv", max_iter=2)
+    seq_frames = {s: sk.list_frames(cfg.data_root, [s]) for s in cfg.data.train_split}
+
+    read_xyz = lambda p: sk.read_frame(p, with_labels=False)[0]  # noqa: E731
+    prepare_supervoxels_kmeans(cfg, seq_frames, read_xyz, n_clusters=5)
+    prepare_sk_grids(cfg)
+    bootstrap_round0(cfg, seq_frames)
+    ff = os.path.join(cfg.processing_root, "SK", "frame_flag", "0r", "00.npy")
+    flag = np.load(ff)
+    flag[:] = False
+    flag[:2] = True
+    np.save(ff, flag)
+    svdir = os.path.join(cfg.processing_root, "SK", "sv_flag", "KMeans", "0r", "00")
+    for i, name in enumerate(sorted(os.listdir(svdir))):
+        sv = np.load(os.path.join(svdir, name))
+        sv[:] = 1 if i < 2 else 0
+        np.save(os.path.join(svdir, name), sv)
+
+    state0 = run_train(cfg, max_iter=2)
+    assert int(state0.step) == 2
+    assert os.path.exists(os.path.join(cfg.checkpoint_root, "SK", "SPVCNN", "0r", "current"))
+
+    miou = evaluate_command(dc.replace(cfg, metric_name="LiDAL"))
+    assert 0.0 <= miou <= 1.0
+
+    prob_inference_command(dc.replace(cfg, label_unit="fr", r_id=0))
+    probs = glob.glob(
+        os.path.join(cfg.processing_root, "SK", "prob_map", "SPVCNN", "fr", "0r", "00", "*.npy")
+    )
+    assert len(probs) == 4
+    np.testing.assert_allclose(np.load(probs[0]).sum(1), 1.0, rtol=1e-4)
+
+    cfg_score = dc.replace(cfg, r_id=1, label_unit="sv", metric_name="LiDAL")
+    total_points = sum(len(sk.read_frame(f, with_labels=False)[0]) for f in seq_frames["00"])
+    res = run_lidal_round(cfg_score, train_point_num=total_points)
+    assert (res.sv_flags == 1).sum() > 0
