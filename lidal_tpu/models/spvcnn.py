@@ -34,6 +34,27 @@ from lidal_tpu.ops.devoxelize import (
 from lidal_tpu.ops.kernel_map import UNetPlan
 
 
+class PerFrameDropout(nn.Module):
+    """Dropout whose mask is drawn per FRAME from an explicit [B]-keys array.
+
+    The reference's DDP draws per-rank masks (torch per-process RNG), so a
+    run's masks depend on how frames land on devices.  Deriving each frame's
+    mask from its own key makes the data-parallel step bit-identical to the
+    single-device step for any device count — the same layout-invariance the
+    sync-BN choice buys (docs/PARITY.md item 1); the per-frame augment keys
+    shard with the frames, so they are the natural key source."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, frame_keys, train: bool):
+        if not train or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        mask = jax.vmap(lambda k, xf: jax.random.bernoulli(k, keep, xf.shape))(frame_keys, x)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
 class PointTransform(nn.Module):
     """Linear -> BatchNorm1d -> ReLU on point features (reference spvcnn.py:85-101)."""
 
@@ -60,6 +81,7 @@ class SPVCNN(nn.Module):
         plan: UNetPlan,
         pplan: PointPlan,
         train: bool = False,
+        dropout_keys: jnp.ndarray | None = None,  # [B] per-frame keys; see PerFrameDropout
     ):
         cs = self.cs
         ax = self.bn_axis
@@ -96,9 +118,15 @@ class SPVCNN(nn.Module):
             x = ResidualBlock(c_out, ax)(x, level, train)
             return x
 
+        def drop(x, site):
+            if dropout_keys is not None:
+                fkeys = jax.vmap(lambda k: jax.random.fold_in(k, site))(dropout_keys)
+                return PerFrameDropout(self.dropout_rate)(x, fkeys, train)
+            return nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+
         # y1 = point_to_voxel(x4, z1) -> dropout -> up1 (spvcnn.py:130-134)
         y1 = point_to_voxel_avg_batched(z1, dn, pplan.avg4, levels=4)
-        y1 = nn.Dropout(self.dropout_rate, deterministic=not train)(y1)
+        y1 = drop(y1, 1)
         y1 = up(y1, x3, 3, cs[5], lv[3])
         y2 = up(y1, x2, 2, cs[6], lv[2])
 
@@ -107,7 +135,7 @@ class SPVCNN(nn.Module):
 
         # y3 = point_to_voxel(y2, z2) -> dropout -> up3 (spvcnn.py:142-146)
         y3 = point_to_voxel_avg_batched(z2, dn, pplan.avg2, levels=2)
-        y3 = nn.Dropout(self.dropout_rate, deterministic=not train)(y3)
+        y3 = drop(y3, 2)
         y3 = up(y3, x1, 1, cs[7], lv[1])
         y4 = up(y3, x0, 0, cs[8], lv[0])
 

@@ -79,16 +79,23 @@ def make_train_step(
     single-device step bit-for-modulo-reduction-order.
     """
 
-    def train_step(state: TrainState, batch: TrainBatch, dropout_rng: jax.Array):
+    def train_step(
+        state: TrainState,
+        batch: TrainBatch,
+        dropout_rng: jax.Array,
+        dropout_keys: jax.Array | None = None,  # [B] per-frame keys (SPVCNN only)
+    ):
         def loss_fn(params):
             var_in = {"params": params, "batch_stats": state.batch_stats}
             args = (batch.feats, batch.plan) + ((batch.pplan,) if with_points else ())
+            kw = {"dropout_keys": dropout_keys} if with_points and dropout_keys is not None else {}
             (logits, _), updates = model.apply(
                 var_in,
                 *args,
                 train=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": dropout_rng},
+                **kw,
             )
             loss = cross_entropy_ignore(logits, batch.labels, axis_name)
             return loss, updates["batch_stats"]

@@ -210,7 +210,13 @@ def make_train_fn(
         if axis is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
             ovf = jax.lax.psum(ovf, axis)
-        new_state, loss = inner(state, tb, rng)
+        # SPVCNN dropout masks derive from the per-frame augment keys (which
+        # shard WITH the frames), so the sharded step equals the single-device
+        # step exactly; a single rng would draw shard-shape-dependent masks.
+        dkeys = None
+        if cfg.is_spvcnn:
+            dkeys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5EED))(keys)
+        new_state, loss = inner(state, tb, rng, dkeys)
         return new_state, loss, ovf
 
     if steps_per_call == 1:

@@ -47,9 +47,10 @@ def _points(b, seed=0):
     return (jnp.asarray(xyz), jnp.asarray(sig), jnp.asarray(valid), jnp.asarray(labels))
 
 
-def test_sharded_train_step_matches_single_device(tmp_path):
+@pytest.mark.parametrize("model_name", ["Mink", "SPVCNN"])
+def test_sharded_train_step_matches_single_device(tmp_path, model_name):
     b = 8
-    cfg = _cfg(tmp_path)
+    cfg = dataclasses.replace(_cfg(tmp_path), model_name=model_name)
     xyz, sig, valid, labels = _points(b)
     keys = jax.random.split(jax.random.PRNGKey(0), b)
     rng = jax.random.PRNGKey(2)
@@ -78,9 +79,18 @@ def test_sharded_train_step_matches_single_device(tmp_path):
         a, b_ = np.asarray(a, np.float64), np.asarray(b_, np.float64)
         # per-leaf scale-aware atol: grad components formed by cancellation can
         # be tiny with large relative noise; a missing psum would shift the
-        # whole leaf by the shard count and still trip this
+        # whole leaf by the shard count (800% of scale) and still trip this.
+        # 5e-2: SPVCNN's deeper point-branch BN chain leaves ~0.01% of elements
+        # at ~3e-2 of leaf scale from f32 reduction-order noise alone.
         scale = max(np.abs(a).max(), np.abs(b_).max(), 1e-12)
-        np.testing.assert_allclose(a, b_, rtol=1e-2, atol=2e-2 * scale)
+        if scale < 1e-8:
+            # noise-only leaf: SPVCNN's PointTransform Linear biases feed
+            # straight into BatchNorm, whose mean subtraction makes their true
+            # gradient EXACTLY zero — both layouts compute ~1e-10 f32
+            # cancellation noise with no common structure.  (A real gradient
+            # leaf cannot be this small; a missing psum scales, not shrinks.)
+            continue
+        np.testing.assert_allclose(a, b_, rtol=1e-2, atol=5e-2 * scale)
     # params drift bounded by the learning rate on sign flips of ~0 grads
     for a, b_ in zip(
         jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s8.params)
