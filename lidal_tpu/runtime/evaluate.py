@@ -72,7 +72,7 @@ def make_eval_conf_fn(cfg: RunConfig, eval_step: Callable, n_devices: Optional[i
 
     n_dev = n_devices if n_devices is not None else jax.device_count()
     if n_dev > 1:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         from lidal_tpu.parallel.mesh import make_mesh
@@ -89,7 +89,7 @@ def make_eval_conf_fn(cfg: RunConfig, eval_step: Callable, n_devices: Optional[i
                 mesh=mesh,
                 in_specs=(P(), P("data"), P("data"), P("data"), P("data"), P("data")),
                 out_specs=(P(), P()),
-                check_rep=False,
+                check_vma=False,
             )
         )
     return jax.jit(one)

@@ -235,7 +235,7 @@ def make_train_fn(
             return state, losses, ovfs
 
     if dp:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         from lidal_tpu.parallel.mesh import make_mesh
@@ -249,7 +249,7 @@ def make_train_fn(
                 mesh=mesh,
                 in_specs=(P(), dspec, dspec, dspec, dspec, dspec, P()),
                 out_specs=(P(), P(), P()),
-                check_rep=False,
+                check_vma=False,
             )
         )
     else:
