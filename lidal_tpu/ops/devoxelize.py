@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from lidal_tpu.ops.kernel_map import OFFSETS2, UNetPlan
@@ -154,6 +155,39 @@ def devoxelize_trilinear_batched(voxel_feats: jnp.ndarray, tri: TriMap) -> jnp.n
     return map_frames(devoxelize_trilinear, voxel_feats, tri)
 
 
+def _child_sum(x: jnp.ndarray, child: jnp.ndarray, parent: jnp.ndarray) -> jnp.ndarray:
+    """One down-tree level of the voxel sum: out[o] = sum_d x[child[o, d]].
+
+    Custom VJP: every fine row has exactly one parent, so the backward is the
+    plain row gather dx[f] = dy[parent[f]] — no scatter in either direction
+    (gather8's generic VJP scatter-adds an [m, 8, c] cotangent)."""
+    b, cap_f, c = x.shape
+
+    @jax.custom_vjp
+    def run(x):
+        from lidal_tpu.ops.conv import _flatten_nbr
+        from lidal_tpu.ops.pallas_gather8 import gather8
+
+        nbr = _flatten_nbr(child, cap_f)
+        ones = jnp.ones(nbr.shape, jnp.float32)
+        return gather8(x.reshape(b * cap_f, c), nbr, ones).reshape(b, child.shape[1], c)
+
+    def fwd(x):
+        return run(x), None
+
+    def bwd(_, dy):
+        from lidal_tpu.ops.gather import take_rows
+        from lidal_tpu.ops.voxelize import append_zero_row
+
+        def one(dy_f, parent_f):
+            return take_rows(append_zero_row(dy_f), parent_f, sorted_unique=False)
+
+        return (jax.vmap(one)(dy, parent).astype(dy.dtype),)
+
+    run.defvjp(fwd, bwd)
+    return run(x)
+
+
 def point_to_voxel_avg_batched(
     point_feats: jnp.ndarray, downs, avg: AvgMap, levels: int
 ) -> jnp.ndarray:
@@ -165,18 +199,9 @@ def point_to_voxel_avg_batched(
     ancestor counts.  Off-TPU: the per-frame scatter-add path."""
     b, cap0, c = point_feats.shape
     if _pallas_gather8_ok(b * cap0, b * downs[0].child.shape[1]):
-        from lidal_tpu.ops.conv import _flatten_nbr
-        from lidal_tpu.ops.pallas_gather8 import gather8
-
         x = point_feats
         for l in range(levels):
-            child = downs[l].child  # [B, cap_{l+1}, 8]
-            cap_f = x.shape[1]
-            nbr = _flatten_nbr(child, cap_f)
-            ones = jnp.ones(nbr.shape, jnp.float32)
-            x = gather8(x.reshape(b * cap_f, c), nbr, ones).reshape(
-                b, child.shape[1], c
-            )
+            x = _child_sum(x, downs[l].child, downs[l].parent)
         denom = jnp.maximum(avg.counts, 1).astype(x.dtype)[..., None]
         return (x / denom).astype(point_feats.dtype)
     from lidal_tpu.ops.batching import map_frames

@@ -319,7 +319,7 @@ def conv_dx_dw_pallas(
             pl.BlockSpec((TILE_M, k), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w2, whole
             pl.BlockSpec((c_f, TILE_M), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # src stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # src stays in HBM
         ],
         out_specs=[
             pl.BlockSpec((TILE_M, c_dst), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
@@ -399,7 +399,7 @@ def subm_conv_pallas(
         in_specs=[
             pl.BlockSpec((TILE_M, k), lambda t, lo_r, nb_r: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, whole
-            pl.BlockSpec(memory_space=pltpu.ANY),  # feats stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # feats stay in HBM
         ],
         out_specs=pl.BlockSpec(
             (TILE_M, cout), lambda t, lo_r, nb_r: (t, 0), memory_space=pltpu.VMEM

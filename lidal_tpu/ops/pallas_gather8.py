@@ -147,7 +147,7 @@ def gather8_pallas(
         in_specs=[
             pl.BlockSpec((TILE_M, k), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_M, k), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((TILE_M, c), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[

@@ -177,7 +177,7 @@ def nn_band_pallas(
         grid=(s, tiles),  # tiles innermost: consecutive steps share the slot
         in_specs=[
             pl.BlockSpec((4, TILE), lambda si, t, *_: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # table coords stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # table coords stay in HBM
         ],
         out_specs=(
             pl.BlockSpec(

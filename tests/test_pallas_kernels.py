@@ -586,6 +586,38 @@ def test_gather8_grad_matches_oracle(pallas_gather8_on):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
 
 
+def test_p2v_child_sum_grad_matches_scatter_path(pallas_gather8_on):
+    """The gather-only child-sum VJP (dx[f] = dy[parent[f]]) equals the
+    XLA scatter-add formulation's gradient on a real synthetic plan."""
+    from lidal_tpu.data.pipeline import prepare_eval_batch
+    from lidal_tpu.ops.batching import map_frames
+    from lidal_tpu.ops.devoxelize import point_to_voxel_avg, point_to_voxel_avg_batched
+
+    rng = np.random.default_rng(11)
+    B, P = 2, 1024
+    caps = (1024, 512, 256, 256, 256)
+    xyz = (rng.random((B, P, 3)) * 8.0).astype(np.float32)
+    sig = rng.random((B, P)).astype(np.float32)
+    valid = np.ones((B, P), bool)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    eb = prepare_eval_batch(
+        keys, jnp.asarray(xyz), jnp.asarray(sig), jnp.asarray(valid),
+        level_caps=caps, with_points=True,
+    )
+    c = 8
+    pf = jnp.asarray(_int_feats(rng, B * caps[0], c).reshape(B, caps[0], c))
+    pf = pf * np.asarray(eb.plan.levels[0].valid)[:, :, None]
+    cot = jnp.asarray(_int_feats(rng, B * caps[2], c).reshape(B, caps[2], c))
+
+    g_pallas = jax.grad(
+        lambda x: (point_to_voxel_avg_batched(x, eb.plan.downs, eb.pplan.avg2, levels=2) * cot).sum()
+    )(pf)
+    g_xla = jax.grad(
+        lambda x: (map_frames(point_to_voxel_avg, x, eb.pplan.avg2) * cot).sum()
+    )(pf)
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla), rtol=1e-4, atol=1e-4)
+
+
 def test_spvcnn_point_ops_batched_match_per_frame(pallas_gather8_on):
     """devoxelize_trilinear_batched + point_to_voxel_avg_batched (Pallas path,
     interpret) vs the per-frame XLA formulations on a real synthetic plan."""
