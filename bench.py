@@ -61,8 +61,10 @@ def main() -> None:
     from lidal_tpu.data.pipeline import prepare_eval_batch
     from lidal_tpu.models import MinkUNet
 
+    import os
+
     rng = np.random.default_rng(0)
-    B, P = 4, 131072
+    B, P = int(os.environ.get("LIDAL_BENCH_B", "4")), 131072
     caps = (131072, 49152, 16384, 6144, 2048)
     xyz = np.zeros((B, P, 3), np.float32)
     sig = np.zeros((B, P), np.float32)
@@ -79,8 +81,6 @@ def main() -> None:
     # Optional activation dtype for the inference A/B (the conv kernels stage
     # features in bf16 internally either way; this propagates bf16 BETWEEN
     # layers too, halving inter-conv HBM traffic).  Default f32 = parity path.
-    import os
-
     act_dtype = jnp.bfloat16 if os.environ.get("LIDAL_BENCH_DTYPE") == "bfloat16" else None
 
     def infer(variables, keys):
@@ -119,6 +119,10 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     pts_per_sec = B * n_pts * iters / dt
+
+    if os.environ.get("LIDAL_BENCH_ONLY") == "mink":  # focused A/B runs
+        print(json.dumps({"metric": "points/sec MinkUNet inference", "value": round(pts_per_sec, 1), "unit": "points/s", "vs_baseline": round(pts_per_sec / REFERENCE_POINTS_PER_SEC, 3)}))
+        return
 
     # ---- second line: SPVCNN e2e inference (BASELINE config 2) ----
     from lidal_tpu.models import SPVCNN

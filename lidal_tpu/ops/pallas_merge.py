@@ -238,6 +238,10 @@ def merge_rank_pallas(
             pltpu.VMEM((r, 128), jnp.int32),
             pltpu.VMEM((r, 1), jnp.int32),
         ],
+        # B=8 batches push the per-step stack allocation just past the 16 MiB
+        # default scoped-vmem budget (16.07M at [208, 1026, 128] s32); v5e has
+        # 128 MiB of VMEM, so give this kernel the same headroom as the convs.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(eh3, el3)
     return out.reshape(g, m_pad)[:, :m]
