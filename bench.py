@@ -1,12 +1,24 @@
 """Benchmark: MinkUNet inference points/sec on SemanticKITTI-scale synthetic frames.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints an accumulating JSON line PER SECTION, flushed the moment each headline
+is measured, so a timeout anywhere still leaves the driver a parseable record
+(the LAST complete JSON line is always the most complete snapshot):
 
-The timed quantity is end-to-end single-chip inference of new frames — on-device
-augment + voxelize + multi-level kernel-map (plan) build + MinkUNet forward —
-i.e. the same work the reference does per frame with torchsparse (which also
-rebuilds kernel maps per batch).  A second line reports SPVCNN (BASELINE
-config 2) and a third the LiDAL scoring stage.
+1. MinkUNet e2e inference (the headline ``value``) — on-device augment +
+   voxelize + multi-level kernel-map (plan) build + forward, i.e. the same
+   per-frame work the reference does with torchsparse (which also rebuilds
+   kernel maps per batch).
+2. LiDAL inter-frame scoring, steady-state s/frame (ring runner pattern).
+3. SPVCNN e2e inference (BASELINE config 2).
+4. Multi-device aggregate: the PRODUCTION drivers (`run_prob_inference` +
+   `run_lidal_round`) over all ``jax.local_devices()`` — aggregate points/s
+   and scoring frames/s (scales with chip count; 1 on this rig).
+
+A wall-clock budget (``LIDAL_BENCH_BUDGET_S``, default 1200 s) gates each
+section: when the budget runs short the remaining sections are SKIPPED (listed
+in the ``skipped`` field) instead of risking an unparseable timeout.  Each
+section is also exception-isolated: a failure is recorded in ``errors`` and
+the next section still runs.
 
 ``vs_baseline`` divides by an ESTIMATED reference GPU throughput of 1.2e6
 points/s.  Provenance + error bar (the repo publishes no numbers, BASELINE.md):
@@ -16,16 +28,61 @@ per SemanticKITTI val batch of ~120k-point frames on a 2080Ti-class GPU
 scope; 1.2e6 is the midpoint of the conservative end.  Treat vs_baseline with
 a +-30% error bar; the s/frame LiDAL scoring line is measured, not estimated.
 North star: >= 5x => vs_baseline >= 5.
+
+Env knobs: LIDAL_BENCH_B (batch, int >= 1, default 4); LIDAL_BENCH_DTYPE
+(``bfloat16`` to propagate bf16 activations between layers — opt-in lossy);
+LIDAL_BENCH_ONLY=mink (stop after section 1, for focused A/B runs);
+LIDAL_BENCH_BUDGET_S (section gate, seconds).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 REFERENCE_POINTS_PER_SEC = 1.2e6
+METRIC_LABEL = "points/sec MinkUNet inference (SemanticKITTI); LiDAL scoring frames/sec"
+
+_T0 = time.monotonic()
+_RECORD: dict = {}
+
+
+def _emit(**fields) -> None:
+    """Merge fields into the running record and print it NOW (flushed)."""
+    _RECORD.update(fields)
+    print(json.dumps(_RECORD))
+    sys.stdout.flush()
+
+
+def _env_int(name: str, default: int, minimum: int = 1) -> int:
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        val = int(raw)
+    except ValueError:
+        raise SystemExit(f"{name} must be an integer, got {raw!r}")
+    if val < minimum:
+        raise SystemExit(f"{name} must be >= {minimum}, got {val}")
+    return val
+
+
+def _env_float(name: str, default: float) -> float:
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        return float(raw)
+    except ValueError:
+        raise SystemExit(f"{name} must be a number, got {raw!r}")
+
+
+def _remaining(budget_s: float) -> float:
+    return budget_s - (time.monotonic() - _T0)
 
 
 def synthetic_sk_frame(rng, n=120_000):
@@ -50,52 +107,50 @@ def synthetic_sk_frame(rng, n=120_000):
     return xyz, sig
 
 
-def main() -> None:
+N_PTS = 120_000
+P_CAP = 131072
+CAPS = (131072, 49152, 16384, 6144, 2048)
+ITERS = 8
+
+
+def _frame_stack(rng, b: int):
+    xyz = np.zeros((b, P_CAP, 3), np.float32)
+    sig = np.zeros((b, P_CAP), np.float32)
+    valid = np.zeros((b, P_CAP), bool)
+    for i in range(b):
+        x, s = synthetic_sk_frame(rng, N_PTS)
+        xyz[i, :N_PTS], sig[i, :N_PTS], valid[i, :N_PTS] = x, s, True
+    return xyz, sig, valid
+
+
+def _bench_mink(rng, B: int):
+    """Section 1: MinkUNet e2e inference points/s (the headline value)."""
     import jax
-
-    from lidal_tpu.tpu_init import setup as _setup
-
-    _setup()
     import jax.numpy as jnp
 
     from lidal_tpu.data.pipeline import prepare_eval_batch
     from lidal_tpu.models import MinkUNet
 
-    import os
-
-    rng = np.random.default_rng(0)
-    B, P = int(os.environ.get("LIDAL_BENCH_B", "4")), 131072
-    caps = (131072, 49152, 16384, 6144, 2048)
-    xyz = np.zeros((B, P, 3), np.float32)
-    sig = np.zeros((B, P), np.float32)
-    valid = np.zeros((B, P), bool)
-    n_pts = 120_000
-    for b in range(B):
-        x, s = synthetic_sk_frame(rng, n_pts)
-        xyz[b, :n_pts], sig[b, :n_pts], valid[b, :n_pts] = x, s, True
-
+    xyz, sig, valid = _frame_stack(rng, B)
     xyz_j, sig_j, valid_j = jnp.asarray(xyz), jnp.asarray(sig), jnp.asarray(valid)
 
     model = MinkUNet(num_classes=19)
-
     # Optional activation dtype for the inference A/B (the conv kernels stage
     # features in bf16 internally either way; this propagates bf16 BETWEEN
     # layers too, halving inter-conv HBM traffic).  Default f32 = parity path.
     act_dtype = jnp.bfloat16 if os.environ.get("LIDAL_BENCH_DTYPE") == "bfloat16" else None
 
     def infer(variables, keys):
-        eb = prepare_eval_batch(keys, xyz_j, sig_j, valid_j, level_caps=caps)
+        eb = prepare_eval_batch(keys, xyz_j, sig_j, valid_j, level_caps=CAPS)
         feats = eb.feats.astype(act_dtype) if act_dtype else eb.feats
         logits, _ = model.apply(variables, feats, eb.plan, train=False)
         return logits
 
     keys = jax.random.split(jax.random.PRNGKey(0), B)
-    eb0 = prepare_eval_batch(keys, xyz_j, sig_j, valid_j, level_caps=caps)
+    eb0 = prepare_eval_batch(keys, xyz_j, sig_j, valid_j, level_caps=CAPS)
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(1), eb0.feats, eb0.plan, train=False
     )
-
-    iters = 8
 
     # The measured loop lives ON DEVICE (lax.scan over iterations): per-call
     # graph dispatch through the tunneled backend costs ~1s for graphs this
@@ -109,7 +164,7 @@ def main() -> None:
             out = infer(variables, k)
             return carry + out.sum(), None
 
-        acc, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(iters))
+        acc, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(ITERS))
         return acc
 
     acc = float(run_iters(variables, jax.random.PRNGKey(2)))  # compile + drain
@@ -117,49 +172,17 @@ def main() -> None:
     acc = float(run_iters(variables, jax.random.PRNGKey(3)))
     assert acc == acc  # finite
     dt = time.perf_counter() - t0
+    pts_per_sec = B * N_PTS * ITERS / dt
+    return pts_per_sec, (xyz_j, sig_j, valid_j), variables
 
-    pts_per_sec = B * n_pts * iters / dt
 
-    if os.environ.get("LIDAL_BENCH_ONLY") == "mink":  # focused A/B runs
-        print(json.dumps({"metric": "points/sec MinkUNet inference", "value": round(pts_per_sec, 1), "unit": "points/s", "vs_baseline": round(pts_per_sec / REFERENCE_POINTS_PER_SEC, 3)}))
-        return
+def _bench_lidal_ring(rng, B: int):
+    """Section 2: LiDAL scoring steady-state s/frame (production ring pattern:
+    neighbor grids + grid-sorted prob maps device-resident in a 24-slot ring;
+    per frame the sliding window replaces 2 slots (in-place donated writes)
+    and scoring is one band-NN kernel launch + KL accumulation)."""
+    import jax.numpy as jnp
 
-    # ---- second line: SPVCNN e2e inference (BASELINE config 2) ----
-    from lidal_tpu.models import SPVCNN
-
-    spv = SPVCNN(num_classes=19)
-
-    def infer_spv(variables, keys):
-        eb = prepare_eval_batch(keys, xyz_j, sig_j, valid_j, level_caps=caps, with_points=True)
-        logits, _ = spv.apply(variables, eb.feats, eb.plan, eb.pplan, train=False)
-        return logits
-
-    eb0s = prepare_eval_batch(keys, xyz_j, sig_j, valid_j, level_caps=caps, with_points=True)
-    vars_spv = jax.jit(spv.init, static_argnames=("train",))(
-        jax.random.PRNGKey(1), eb0s.feats, eb0s.plan, eb0s.pplan, train=False
-    )
-
-    @jax.jit
-    def run_iters_spv(variables, seed):
-        def step(carry, i):
-            k = jax.random.split(jax.random.fold_in(seed, i), B)
-            return carry + infer_spv(variables, k).sum(), None
-
-        acc, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(iters))
-        return acc
-
-    float(run_iters_spv(vars_spv, jax.random.PRNGKey(2)))  # compile + drain
-    t0 = time.perf_counter()
-    acc = float(run_iters_spv(vars_spv, jax.random.PRNGKey(3)))
-    assert acc == acc
-    spv_pts_per_sec = B * n_pts * iters / (time.perf_counter() - t0)
-
-    # ---- third headline metric: LiDAL inter-frame scoring (frames/s) ----
-    # Production (ring-runner) pattern on ONE chip: neighbor grids + grid-sorted
-    # prob maps device-resident in a 24-slot ring; per frame the sliding window
-    # replaces 2 slots (in-place donated writes) and scoring is one band-NN
-    # kernel launch + KL accumulation.  Steady state measured over K frames
-    # including the 2 ring writes + query upload each.
     from lidal_tpu.active import lidal
     from lidal_tpu.active.lidal_runner import NeighborRing
 
@@ -167,28 +190,25 @@ def main() -> None:
     n_frames = NEI + 2 + 3 * K
 
     def synth_entry(i):
-        nxyz = synthetic_sk_frame(rng, n_pts)[0] + np.array(
+        nxyz = synthetic_sk_frame(rng, N_PTS)[0] + np.array(
             [0.8 * (i - NEI // 2), 0.0, 0.0], np.float32
         )
-        nprob = rng.dirichlet(np.ones(C), n_pts).astype(np.float32)
+        nprob = rng.dirichlet(np.ones(C), N_PTS).astype(np.float32)
         return nxyz, nprob
 
     frames = [synth_entry(i) for i in range(n_frames)]
-    ring = NeighborRing(NEI + 2, P)
-
-    def warm(fi):
-        ring.ensure([fi] + lidal.neighbor_ids(fi, n_frames), lambda k: frames[k])
+    ring = NeighborRing(NEI + 2, P_CAP)
 
     def dispatch(fi):
         """Steady-state frame: the query is ring-resident (zero upload);
         ensure() transfers only the one frame entering the window."""
-        warm(fi)
+        ring.ensure([fi] + lidal.neighbor_ids(fi, n_frames), lambda k: frames[k])
         w = jnp.asarray(ring.weights(lidal.neighbor_ids(fi, n_frames)))
         return lidal.score_slot(ring.state, ring.key2slot[fi], w)
 
     f0 = NEI // 2
     interd, _ = dispatch(f0)  # compile + warm the ring
-    assert np.isfinite(np.asarray(interd)[:n_pts]).all()
+    assert np.isfinite(np.asarray(interd)[:N_PTS]).all()
     best = None
     for rep in range(2):
         # the window keeps sliding forward: every measured frame does the
@@ -202,23 +222,193 @@ def main() -> None:
                 np.asarray(pending[0])
             pending = out
         interd = np.asarray(pending[0])
-        assert np.isfinite(interd[:n_pts]).all()
+        assert np.isfinite(interd[:N_PTS]).all()
         best = min(best or 1e9, (time.perf_counter() - t0) / K)
-    frames_per_sec = 1.0 / best
+    return best
 
-    print(
-        json.dumps(
-            {
-                "metric": "points/sec MinkUNet inference (SemanticKITTI); LiDAL scoring frames/sec",
-                "value": round(pts_per_sec, 1),
-                "unit": "points/s",
-                "vs_baseline": round(pts_per_sec / REFERENCE_POINTS_PER_SEC, 3),
-                "spvcnn_points_per_sec": round(spv_pts_per_sec, 1),
-                "lidal_scoring_frames_per_sec": round(frames_per_sec, 3),
-                "lidal_scoring_s_per_frame": round(best, 3),
-            }
-        )
+
+def _bench_spvcnn(rng, B: int, frame_arrays):
+    """Section 3: SPVCNN e2e inference points/s (BASELINE config 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lidal_tpu.data.pipeline import prepare_eval_batch
+    from lidal_tpu.models import SPVCNN
+
+    xyz_j, sig_j, valid_j = frame_arrays
+    spv = SPVCNN(num_classes=19)
+
+    def infer_spv(variables, keys):
+        eb = prepare_eval_batch(keys, xyz_j, sig_j, valid_j, level_caps=CAPS, with_points=True)
+        logits, _ = spv.apply(variables, eb.feats, eb.plan, eb.pplan, train=False)
+        return logits
+
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    eb0s = prepare_eval_batch(keys, xyz_j, sig_j, valid_j, level_caps=CAPS, with_points=True)
+    vars_spv = jax.jit(spv.init, static_argnames=("train",))(
+        jax.random.PRNGKey(1), eb0s.feats, eb0s.plan, eb0s.pplan, train=False
     )
+
+    @jax.jit
+    def run_iters_spv(variables, seed):
+        def step(carry, i):
+            k = jax.random.split(jax.random.fold_in(seed, i), B)
+            return carry + infer_spv(variables, k).sum(), None
+
+        acc, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(ITERS))
+        return acc
+
+    float(run_iters_spv(vars_spv, jax.random.PRNGKey(2)))  # compile + drain
+    t0 = time.perf_counter()
+    acc = float(run_iters_spv(vars_spv, jax.random.PRNGKey(3)))
+    assert acc == acc
+    return B * N_PTS * ITERS / (time.perf_counter() - t0)
+
+
+def _bench_multidevice(rng, mink_variables):
+    """Section 4: PRODUCTION drivers over all local devices.
+
+    (a) ``run_prob_inference`` (the per-round multi-view dump, 8 views/frame,
+    frames sharded contiguously over devices with per-device pipeline threads)
+    -> aggregate forward points/s across the rig;
+    (b) ``run_lidal_round`` (full scoring + greedy selection round writing flag
+    files) -> aggregate scoring frames/s.  Both scale with device count.
+    """
+    import dataclasses
+    import tempfile
+
+    import jax
+
+    from lidal_tpu.config import RunConfig, SK_CONFIG
+    from lidal_tpu.runtime.prob_inference import run_prob_inference
+
+    devices = jax.local_devices()
+    nd = len(devices)
+    out: dict = {"devices": nd}
+
+    cfg = RunConfig(metric_name="LiDAL", label_unit="sv", r_id=1, inf_reps=8)
+
+    # ---- (a) run_prob_inference: aggregate multi-view inference points/s ----
+    from lidal_tpu.models import MinkUNet
+
+    model = MinkUNet(num_classes=19)
+
+    def eval_step(variables, feats, plan):
+        return model.apply(variables, feats, plan, train=False)
+
+    n_warm = nd  # one frame per device compiles + fills each pipeline
+    n_timed = 4 * nd
+    frames = [synthetic_sk_frame(rng, N_PTS) for _ in range(max(n_warm, 2))]
+
+    def read_fn(idx):
+        x, s = frames[idx % len(frames)]
+        return x, s, None
+
+    def frame_id_fn(idx):
+        return "00", f"{idx:06d}"
+
+    run_prob_inference(
+        cfg, eval_step, mink_variables, list(range(n_warm)), read_fn, frame_id_fn,
+        save=False, devices=devices,
+    )  # compile + warm every device
+    t0 = time.perf_counter()
+    run_prob_inference(
+        cfg, eval_step, mink_variables, list(range(n_timed)), read_fn, frame_id_fn,
+        save=False, devices=devices,
+    )
+    dt = time.perf_counter() - t0
+    out["prob_inference_frames_per_sec"] = round(n_timed / dt, 3)
+    # each of the 8 views is a full e2e forward of the frame
+    out["aggregate_points_per_sec"] = round(n_timed * N_PTS * cfg.inf_reps / dt, 1)
+
+    # ---- (b) run_lidal_round: aggregate scoring frames/s -------------------
+    from lidal_tpu.active.lidal_runner import run_lidal_round
+    from lidal_tpu.data.selection import save_sv_info
+    from lidal_tpu.runtime.paths import Paths, ensure_dir
+
+    n_frames, n_sv = 8 * nd + 24, 20
+    with tempfile.TemporaryDirectory() as tmp:
+        lcfg = dataclasses.replace(
+            cfg, processing_root=os.path.join(tmp, "proc"),
+            checkpoint_root=os.path.join(tmp, "ckpt"),
+        )
+        p0 = Paths(dataclasses.replace(lcfg, r_id=0, label_unit="fr"))
+        paths = Paths(lcfg)
+        seq = "00"
+        ensure_dir(p0.prob_dir(seq))
+        grid_dir = ensure_dir(paths.grid_dir(seq))
+        svi_dir = ensure_dir(paths.supervoxel_dir(seq, "KMeans"))
+        svf_dir = ensure_dir(paths.sv_flag_dir(seq, r_id=0))
+        gid = 0
+        for fi in range(n_frames):
+            name = f"{fi:06d}"
+            xyz = frames[fi % len(frames)][0] + np.array([0.8 * fi, 0, 0], np.float32)
+            np.savez(os.path.join(grid_dir, f"{name}.npz"), xyz=xyz)
+            prob = rng.random((N_PTS, 19), np.float32) + 1e-3
+            prob /= prob.sum(1, keepdims=True)
+            np.save(os.path.join(p0.prob_dir(seq), f"{name}.npy"), prob)
+            point2sv = (np.arange(N_PTS, dtype=np.int32) * n_sv) // N_PTS
+            sv_gid = np.arange(gid, gid + n_sv, dtype=np.int64)
+            gid += n_sv
+            save_sv_info(os.path.join(svi_dir, f"{name}.npz"), point2sv, sv_gid)
+            np.save(
+                os.path.join(svf_dir, f"{name}.npy"),
+                np.full(n_sv, 1 if fi == 0 else 0, np.int32),
+            )
+        t0 = time.perf_counter()
+        res = run_lidal_round(lcfg, train_split=(seq,), devices=devices)
+        dt = time.perf_counter() - t0
+        assert res.sv_flags.shape == (n_frames * n_sv,)
+        out["lidal_round_frames_per_sec"] = round(n_frames / dt, 3)
+    return out
+
+
+def main() -> None:
+    from lidal_tpu.tpu_init import setup as _setup
+
+    _setup()
+
+    B = _env_int("LIDAL_BENCH_B", 4)
+    budget_s = _env_float("LIDAL_BENCH_BUDGET_S", 1200.0)
+    rng = np.random.default_rng(0)
+    errors: list = []
+    skipped: list = []
+
+    # ---- section 1: the headline (always attempted) -------------------------
+    pts_per_sec, frame_arrays, mink_vars = _bench_mink(rng, B)
+    _emit(
+        metric=METRIC_LABEL,
+        value=round(pts_per_sec, 1),
+        unit="points/s",
+        vs_baseline=round(pts_per_sec / REFERENCE_POINTS_PER_SEC, 3),
+    )
+    if os.environ.get("LIDAL_BENCH_ONLY") == "mink":  # focused A/B runs
+        return
+
+    # ---- remaining sections: budget-gated, exception-isolated ---------------
+    sections = (
+        ("lidal_scoring", 240.0, lambda: _ring_fields(rng, B)),
+        ("spvcnn", 180.0, lambda: {"spvcnn_points_per_sec": round(_bench_spvcnn(rng, B, frame_arrays), 1)}),
+        ("multidevice", 300.0, lambda: _bench_multidevice(rng, mink_vars)),
+    )
+    for name, est_s, fn in sections:
+        if _remaining(budget_s) < est_s:
+            skipped.append(name)
+            _emit(skipped=skipped)
+            continue
+        try:
+            _emit(**fn())
+        except Exception as e:  # keep later sections alive
+            errors.append(f"{name}: {type(e).__name__}: {e}")
+            _emit(errors=errors)
+
+
+def _ring_fields(rng, B: int) -> dict:
+    best = _bench_lidal_ring(rng, B)
+    return {
+        "lidal_scoring_frames_per_sec": round(1.0 / best, 3),
+        "lidal_scoring_s_per_frame": round(best, 3),
+    }
 
 
 if __name__ == "__main__":

@@ -106,6 +106,34 @@ def select_top_frames(
     return flag
 
 
+def select_top_frames_reference(
+    frame_flag: np.ndarray,
+    largest: bool = True,
+    frac: float = 0.01,
+) -> np.ndarray:
+    """VERBATIM reference selection under quirk 1: the reference pre-fills its
+    score array with ``np.zeros_like(all_frame_flag)`` and then APPENDS the real
+    scores (softmax_entropy.py:83,101), so ``all_scores[unlabeled_ids]`` reads
+    the zero prefix and selection degenerates to ``np.argpartition`` over an
+    all-zeros array (``:106-111``) — a deterministic introselect tie order that
+    ignores the computed scores.  ``largest`` False reproduces CONF's
+    ``argpartition(s, num_add)[:num_add]`` (least_confidence_sampling.py:110,
+    kth = num_add, not num_add - 1)."""
+    flag = frame_flag.astype(bool).copy()
+    unlabeled = np.where(~flag)[0]
+    num_add = round(frac * flag.shape[0])  # python round, like the reference
+    num_add = min(num_add, len(unlabeled))  # guard (the reference would crash)
+    if num_add == 0:
+        return flag
+    zeros = np.zeros(len(unlabeled), np.float32)
+    if largest:
+        sel = np.argpartition(zeros, -num_add)[-num_add:]
+    else:
+        sel = np.argpartition(zeros, num_add)[:num_add]
+    flag[unlabeled[sel]] = True
+    return flag
+
+
 def select_random_frames(
     frame_flag: np.ndarray, frac: float = 0.01, rng: Optional[np.random.Generator] = None
 ) -> np.ndarray:

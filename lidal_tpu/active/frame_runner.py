@@ -8,6 +8,12 @@ Divergence from the reference (SURVEY quirks 1-2, intended-semantics build):
 scores are index-aligned with frames (the reference's zero-prefix append bug is
 not reproduced), and MAR selects the *smallest* margin by default
 (``margin_largest=True`` restores the reference's inverted behavior).
+
+``RunConfig.reference_parity`` restores the reference's selections VERBATIM:
+ENT/MAR/SEGENT select via ``argpartition(zeros, -num_add)`` and CONF via
+``argpartition(zeros, num_add)[:num_add]`` — the quirk-1 zero-prefix indexing
+(scoring is skipped: the reference computes scores and then never reads them).
+RAND (with-replacement draw) and CSET are identical in both modes.
 """
 
 from __future__ import annotations
@@ -89,6 +95,12 @@ def run_frame_metric_round(
 
     if metric == "RAND":
         new_flags = fl.select_random_frames(flags, rng=rng)
+        _save_flags(cfg, metric, split, new_flags, offsets)
+        return new_flags
+
+    if cfg.reference_parity and metric in ("ENT", "MAR", "CONF", "SEGENT"):
+        # quirk-1 verbatim path: selection never reads the computed scores
+        new_flags = fl.select_top_frames_reference(flags, largest=(metric != "CONF"))
         _save_flags(cfg, metric, split, new_flags, offsets)
         return new_flags
 

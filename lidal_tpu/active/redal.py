@@ -49,6 +49,60 @@ def sv_scores_and_feats(
     return scores, feats, cnt.astype(np.int64)
 
 
+def kmeans_labels(
+    x: np.ndarray, k: int, seed: int = 0, max_iter: int = 300, tol: float = 1e-4
+) -> np.ndarray:
+    """Deterministic k-means (k-means++ seeding + Lloyd): cluster labels [n].
+
+    In-repo replacement for the reference's ``sklearn.cluster.KMeans``
+    (``ReDAL.py:219-221``): sklearn's exact assignments vary across versions
+    and builds, which makes the one selector whose ranking depends on
+    clustering non-reproducible; this numpy version is stable and
+    self-contained.  Same algorithm family (k-means++ init, Lloyd updates,
+    center-shift tolerance) with a seeded ``np.random.Generator``.
+    """
+    x = np.ascontiguousarray(x, np.float64)
+    n = x.shape[0]
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    x2 = np.square(x).sum(1)
+
+    # k-means++ seeding
+    centers = np.empty((k, x.shape[1]), np.float64)
+    centers[0] = x[rng.integers(n)]
+    d2 = np.maximum(x2 + np.square(centers[0]).sum() - 2.0 * (x @ centers[0]), 0.0)
+    for j in range(1, k):
+        tot = d2.sum()
+        if tot <= 0:  # all points coincide with chosen centers
+            centers[j:] = x[rng.integers(n, size=k - j)]
+            break
+        centers[j] = x[rng.choice(n, p=d2 / tot)]
+        d2 = np.minimum(
+            d2, np.maximum(x2 + np.square(centers[j]).sum() - 2.0 * (x @ centers[j]), 0.0)
+        )
+
+    labels = np.zeros(n, np.int64)
+    for _ in range(max_iter):
+        # [n, k] squared distances via the matmul identity (no n*k*d temps)
+        dist = x2[:, None] + np.square(centers).sum(1)[None] - 2.0 * (x @ centers.T)
+        labels = dist.argmin(1)
+        new_centers = centers.copy()
+        counts = np.bincount(labels, minlength=k)
+        for d in range(x.shape[1]):
+            sums = np.bincount(labels, weights=x[:, d], minlength=k)
+            new_centers[:, d] = np.where(counts > 0, sums / np.maximum(counts, 1), centers[:, d])
+        empty = np.where(counts == 0)[0]
+        if len(empty):  # relocate empty clusters to the worst-fit points
+            worst = np.argsort(dist[np.arange(n), labels])[::-1][: len(empty)]
+            new_centers[empty] = x[worst]
+        shift = np.square(new_centers - centers).sum()
+        centers = new_centers
+        if shift <= tol:
+            break
+    dist = x2[:, None] + np.square(centers).sum(1)[None] - 2.0 * (x @ centers.T)
+    return dist.argmin(1)
+
+
 class ReDALSelection(NamedTuple):
     sv_flags: np.ndarray
     added: np.ndarray
@@ -67,8 +121,6 @@ def select(
     random_state: int = 0,
 ) -> ReDALSelection:
     """Importance-reweighted greedy selection (ReDAL.py:198-242)."""
-    from sklearn.cluster import KMeans
-
     flags = sv_flags.astype(np.int64).copy()
     before = flags.copy()
     unlabeled_ids = np.where(flags == 0)[0]
@@ -87,7 +139,7 @@ def select(
         feats_sorted = feats_sorted[:n]
 
     k = min(num_clusters, max(1, feats_sorted.shape[0]))
-    clusters = KMeans(n_clusters=k, random_state=random_state).fit(feats_sorted).labels_
+    clusters = kmeans_labels(feats_sorted, k, seed=random_state)
 
     importance = np.ones(k, np.float64)
     for i in range(feats_sorted.shape[0]):

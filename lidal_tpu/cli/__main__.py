@@ -29,6 +29,9 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--metric_name", type=str, default="LiDAL")
     p.add_argument("--r_id", type=int, default=0)
     p.add_argument("--inf_reps", type=int, default=8)
+    p.add_argument("--reference_parity", action="store_true",
+                   help="reproduce the reference's frame-level selections "
+                        "verbatim, quirks included (see config.RunConfig)")
     p.add_argument("--max_iter", type=int, default=20000)
     p.add_argument("--data_root", type=str, default="Semantic_kitti/dataset/sequences")
     p.add_argument("--processing_root", type=str, default="Processing_files")

@@ -31,7 +31,6 @@ class DataConfig:
     # Total train-split point counts used for the 1% selection budgets
     # (reference score/sv_level/LiDAL.py:127,132).
     train_point_num: int = 0
-    inf_reps: int = 8
 
 
 SK_CONFIG = DataConfig(
@@ -70,6 +69,14 @@ class RunConfig:
     nu_root: str = "nuScenes"
     processing_root: str = "Processing_files"
     checkpoint_root: str = "check_points"
+    # Reference-parity mode: reproduce the reference's frame-level selections
+    # VERBATIM, including its quirks — the zero-prefix score indexing that makes
+    # ENT/MAR/CONF/SEGENT select via argpartition over all-zero scores
+    # (reference softmax_entropy.py:83,101,106-111; SURVEY quirk 1) and MAR's
+    # largest-margin direction (margin_sampling.py:109-111; quirk 2).  Off by
+    # default = intended-semantics scoring (index-aligned scores).  RAND's
+    # with-replacement draw and CSET are identical in both modes.
+    reference_parity: bool = False
     # Override the dataset constants (capacities, splits, ...) — e.g. for tests
     # or differently-sized deployments.
     data_override: Optional[DataConfig] = None

@@ -79,7 +79,6 @@ def mini_cfg(tmpdir: str, seqs=("00", "01"), **kw) -> RunConfig:
         train_split=tuple(seqs),
         val_split=(seqs[0],),  # reuse a train seq as val for the smoke test
         train_point_num=0,  # filled by callers when needed
-        inf_reps=2,
     )
     return RunConfig(
         dataset_name="SK",

@@ -296,6 +296,39 @@ def test_redal_select_budget_and_decay():
     assert (res.sv_flags[:10] == 1).all()
 
 
+def test_kmeans_labels_deterministic_and_clusters_blobs():
+    """In-repo Lloyd (replacing the reference's sklearn KMeans,
+    ReDAL.py:219-221): deterministic across calls, separates well-spaced
+    blobs exactly, and matches sklearn's inertia within 5% when sklearn is
+    available (optional cross-check)."""
+    rng = np.random.default_rng(11)
+    k, per = 6, 40
+    centers = rng.normal(scale=50.0, size=(k, 8))
+    x = (centers[:, None] + rng.normal(size=(k, per, 8))).reshape(-1, 8)
+
+    lab1 = redal.kmeans_labels(x, k, seed=0)
+    lab2 = redal.kmeans_labels(x, k, seed=0)
+    np.testing.assert_array_equal(lab1, lab2)
+    assert len(np.unique(lab1)) == k
+    # each true blob lands in exactly one cluster
+    for j in range(k):
+        assert len(np.unique(lab1[j * per : (j + 1) * per])) == 1
+
+    def inertia(labels):
+        tot = 0.0
+        for c in np.unique(labels):
+            pts = x[labels == c]
+            tot += np.square(pts - pts.mean(0)).sum()
+        return tot
+
+    try:
+        from sklearn.cluster import KMeans
+    except ImportError:
+        return
+    sk = KMeans(n_clusters=k, random_state=0, n_init=10).fit(x).labels_
+    assert inertia(lab1) <= 1.05 * inertia(sk)
+
+
 def test_sv_random_budget():
     rng = np.random.default_rng(10)
     n = 300

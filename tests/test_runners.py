@@ -81,6 +81,54 @@ def test_frame_metric_rounds(artifact_tree, metric):
     assert os.path.exists(os.path.join(out_dir, "01.npy"))
 
 
+@pytest.mark.parametrize("metric", ["ENT", "MAR", "CONF", "SEGENT"])
+def test_reference_parity_mode_matches_reference_selection(tmp_path, metric):
+    """``RunConfig.reference_parity`` golden test: on a synthetic round the
+    parity-mode flags equal, index for index, a literal re-implementation of
+    the reference scorer's selection flow (softmax_entropy.py:60-111 and
+    siblings) — zero-prefix score array, unlabeled indexing into the zero
+    prefix, argpartition direction per metric (CONF: kth=num_add,
+    least_confidence_sampling.py:110)."""
+    import dataclasses as dc
+
+    from lidal_tpu.active.frame_runner import run_frame_metric_round
+    from lidal_tpu.runtime.paths import Paths, ensure_dir
+
+    rng = np.random.default_rng(3)
+    n_frames = 300
+    cfg = mini_cfg(str(tmp_path), seqs=("00", "01"), r_id=1, metric_name=metric,
+                   label_unit="fr")
+    cfg = dc.replace(cfg, reference_parity=True)
+    p0 = Paths(dc.replace(cfg, r_id=0, label_unit="fr"))
+    ff_dir = ensure_dir(p0.frame_flag_dir(r_id=0))
+    seq_flags = {}
+    for seq in ("00", "01"):
+        flag = rng.random(n_frames) < 0.05
+        seq_flags[seq] = flag
+        np.save(os.path.join(ff_dir, f"{seq}.npy"), flag)
+
+    got = run_frame_metric_round(cfg, metric)
+
+    # ---- oracle: the reference's own flow, transcribed --------------------
+    all_frame_flag = np.array([], dtype=bool)
+    for seq in ("00", "01"):
+        all_frame_flag = np.append(all_frame_flag, seq_flags[seq])
+    all_scores = np.zeros_like(all_frame_flag, dtype=np.float32)  # quirk 1
+    for seq in ("00", "01"):  # real scores are APPENDED past index N
+        all_scores = np.append(all_scores, rng.random(n_frames).astype(np.float32))
+    unlabeled_ids = np.where(all_frame_flag == False)[0]  # noqa: E712 (reference idiom)
+    unlabeled_scores = all_scores[unlabeled_ids]
+    num_add = round(0.01 * all_frame_flag.shape[0])
+    if metric == "CONF":
+        selected = np.argpartition(unlabeled_scores, num_add)[:num_add]
+    else:
+        selected = np.argpartition(unlabeled_scores, -num_add)[-num_add:]
+    all_frame_flag[unlabeled_ids[selected]] = True
+
+    np.testing.assert_array_equal(got, all_frame_flag)
+    assert num_add == 6 and got.sum() == all_frame_flag.sum()
+
+
 def test_cset_adds_most_distant(artifact_tree):
     # CSET with a controlled feature layout: frame 0 labeled; ensure selection
     # machinery returns the k-center greedy result through the runner
