@@ -17,7 +17,14 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from lidal_tpu.ops.conv import down_conv_batched, subm_conv_batched, up_conv_batched
+from lidal_tpu.ops.conv import (
+    down_conv_batched,
+    down_conv_bn_batched,
+    subm_conv_batched,
+    subm_conv_bn_batched,
+    up_conv_batched,
+    up_conv_bn_batched,
+)
 from lidal_tpu.ops.kernel_map import DownPlan, LevelPlan
 
 
@@ -34,14 +41,20 @@ def conv_kernel_init(k: int):
 
 
 class SubMConv3(nn.Module):
-    """Kernel-3 stride-1 submanifold conv (spnn.Conv3d ks=3 s=1)."""
+    """Kernel-3 stride-1 submanifold conv (spnn.Conv3d ks=3 s=1).
+
+    ``epilogue = (scale, shift, relu)`` fuses the inference-mode BN affine
+    (+ ReLU + validity mask) into the conv kernel's output store."""
 
     features: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, level: LevelPlan) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, level: LevelPlan, epilogue=None) -> jnp.ndarray:
         k = level.nbr3.shape[-1]
         w = self.param("w", conv_kernel_init(k), (k, x.shape[-1], self.features))
+        if epilogue is not None:
+            a, b, relu = epilogue
+            return subm_conv_bn_batched(x, w, level.nbr3, a, b, relu)
         return subm_conv_batched(x, w, level.nbr3)
 
 
@@ -62,8 +75,11 @@ class DownConv2(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, down: DownPlan) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, down: DownPlan, epilogue=None) -> jnp.ndarray:
         w = self.param("w", conv_kernel_init(8), (8, x.shape[-1], self.features))
+        if epilogue is not None:
+            a, b, relu = epilogue
+            return down_conv_bn_batched(x, w, down.child, a, b, relu)
         return down_conv_batched(x, w, down.child, down.parent, down.pdelta)
 
 
@@ -73,8 +89,11 @@ class UpConv2(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, down: DownPlan) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, down: DownPlan, epilogue=None) -> jnp.ndarray:
         w = self.param("w", conv_kernel_init(8), (8, x.shape[-1], self.features))
+        if epilogue is not None:
+            a, b, relu = epilogue
+            return up_conv_bn_batched(x, w, down.parent, down.pdelta, a, b, relu)
         return up_conv_batched(x, w, down.child, down.parent, down.pdelta)
 
 
@@ -94,12 +113,28 @@ class MaskedBatchNorm(nn.Module):
     axis: str | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, valid: jnp.ndarray, train: bool) -> jnp.ndarray:
-        feat = x.shape[-1]
+    def __call__(
+        self,
+        x: jnp.ndarray | None,
+        valid: jnp.ndarray,
+        train: bool,
+        fused_affine: bool = False,
+        feat: int | None = None,
+    ) -> jnp.ndarray:
+        """Normal mode: normalize ``x``.  ``fused_affine`` (inference only):
+        return the folded per-channel ``(scale, shift)`` so the caller can fuse
+        BN into the preceding conv kernel's epilogue; ``feat`` supplies the
+        channel count (x may be None).  Both modes create identical variables."""
+        feat = x.shape[-1] if x is not None else feat
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(feat, jnp.float32))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(feat, jnp.float32))
         scale = self.param("scale", nn.initializers.ones, (feat,))
         bias = self.param("bias", nn.initializers.zeros, (feat,))
+
+        if fused_affine:
+            assert not train, "fused BN affine is an inference-only path"
+            a = scale * jax.lax.rsqrt(ra_var.value + self.eps)
+            return a, bias - ra_mean.value * a
 
         if train:
             m = valid.astype(jnp.float32)[..., None]
@@ -127,16 +162,21 @@ class MaskedBatchNorm(nn.Module):
 
 
 class ConvBlock(nn.Module):
-    """conv ks=3 s=1 -> BN -> ReLU (reference BasicConvolutionBlock with ks=3)."""
+    """conv ks=3 s=1 -> BN -> ReLU (reference BasicConvolutionBlock with ks=3).
+
+    Inference fuses BN + ReLU into the conv kernel's epilogue (one HBM pass)."""
 
     features: int
     axis: str | None = None
 
     @nn.compact
     def __call__(self, x, level: LevelPlan, train: bool):
-        x = SubMConv3(self.features)(x, level)
-        x = MaskedBatchNorm(axis=self.axis)(x, level.valid, train)
-        return jax.nn.relu(x)
+        conv = SubMConv3(self.features)
+        bn = MaskedBatchNorm(axis=self.axis)
+        if not train:
+            a, b = bn(None, level.valid, train, fused_affine=True, feat=self.features)
+            return conv(x, level, epilogue=(a, b, True))
+        return jax.nn.relu(bn(conv(x, level), level.valid, train))
 
 
 class DownBlock(nn.Module):
@@ -147,9 +187,12 @@ class DownBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, down: DownPlan, out_level: LevelPlan, train: bool):
-        x = DownConv2(self.features)(x, down)
-        x = MaskedBatchNorm(axis=self.axis)(x, out_level.valid, train)
-        return jax.nn.relu(x)
+        conv = DownConv2(self.features)
+        bn = MaskedBatchNorm(axis=self.axis)
+        if not train:
+            a, b = bn(None, out_level.valid, train, fused_affine=True, feat=self.features)
+            return conv(x, down, epilogue=(a, b, True))
+        return jax.nn.relu(bn(conv(x, down), out_level.valid, train))
 
 
 class UpBlock(nn.Module):
@@ -160,25 +203,38 @@ class UpBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, down: DownPlan, out_level: LevelPlan, train: bool):
-        x = UpConv2(self.features)(x, down)
-        x = MaskedBatchNorm(axis=self.axis)(x, out_level.valid, train)
-        return jax.nn.relu(x)
+        conv = UpConv2(self.features)
+        bn = MaskedBatchNorm(axis=self.axis)
+        if not train:
+            a, b = bn(None, out_level.valid, train, fused_affine=True, feat=self.features)
+            return conv(x, down, epilogue=(a, b, True))
+        return jax.nn.relu(bn(conv(x, down), out_level.valid, train))
 
 
 class ResidualBlock(nn.Module):
     """conv-BN-ReLU-conv-BN + (identity | 1x1 conv-BN) -> ReLU
-    (reference ResidualBlock, network/utils.py:142-172; always stride 1 here)."""
+    (reference ResidualBlock, network/utils.py:142-172; always stride 1 here).
+
+    Inference fuses both conv+BN pairs (the first also fuses its ReLU); the
+    1x1 shortcut's affine stays in XLA, which fuses it into the matmul."""
 
     features: int
     axis: str | None = None
 
     @nn.compact
     def __call__(self, x, level: LevelPlan, train: bool):
-        y = SubMConv3(self.features)(x, level)
-        y = MaskedBatchNorm(axis=self.axis)(y, level.valid, train)
-        y = jax.nn.relu(y)
-        y = SubMConv3(self.features)(y, level)
-        y = MaskedBatchNorm(axis=self.axis)(y, level.valid, train)
+        conv1 = SubMConv3(self.features)
+        bn1 = MaskedBatchNorm(axis=self.axis)
+        conv2 = SubMConv3(self.features)
+        bn2 = MaskedBatchNorm(axis=self.axis)
+        if not train:
+            a1, b1 = bn1(None, level.valid, train, fused_affine=True, feat=self.features)
+            y = conv1(x, level, epilogue=(a1, b1, True))
+            a2, b2 = bn2(None, level.valid, train, fused_affine=True, feat=self.features)
+            y = conv2(y, level, epilogue=(a2, b2, False))
+        else:
+            y = jax.nn.relu(bn1(conv1(x, level), level.valid, train))
+            y = bn2(conv2(y, level), level.valid, train)
         if x.shape[-1] == self.features:
             sc = x
         else:

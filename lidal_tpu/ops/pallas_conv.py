@@ -48,10 +48,15 @@ TILE_N = 256  # feature-table rows per DMA block
 _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
-def _make_kernel(k: int, cin: int, cout: int, groups: int):
+def _make_kernel(k: int, cin: int, cout: int, groups: int, epilogue: bool = False,
+                 relu: bool = False, n_src: int = 0):
     gsize = k // groups
 
-    def _kernel(lo_ref, nb_ref, nbr_ref, w_ref, feats_hbm, out_ref, heads, tails, hsem, tsem):
+    def _kernel(lo_ref, nb_ref, nbr_ref, w_ref, *rest):
+        if epilogue:
+            scale_ref, shift_ref, feats_hbm, out_ref, heads, tails, hsem, tsem = rest
+        else:
+            feats_hbm, out_ref, heads, tails, hsem, tsem = rest
         t = pl.program_id(0)
         nt = pl.num_programs(0)
         nbr_tile = nbr_ref[:]  # [T, K] int32
@@ -147,7 +152,20 @@ def _make_kernel(k: int, cin: int, cout: int, groups: int):
                 return acc + part.sum(axis=0)
 
             acc = jax.lax.fori_loop(0, nblocks, body, acc)
-        out_ref[:] = acc
+        if epilogue:
+            # fused BN(+ReLU) epilogue: per-channel affine of the f32
+            # accumulator, in-register — saves the separate elementwise
+            # HBM round-trip per conv.  Invalid rows (all-sentinel maps,
+            # acc == 0) are re-zeroed so masking semantics match the
+            # unfused path (a row is valid iff any tap is real: the subm
+            # center / >=1 child / the up parent).
+            y = acc * scale_ref[:] + shift_ref[:]
+            if relu:
+                y = jnp.maximum(y, 0.0)
+            row_ok = (jnp.min(nbr_tile, axis=1, keepdims=True) < n_src).astype(jnp.float32)
+            out_ref[:] = y * row_ok
+        else:
+            out_ref[:] = acc
 
     return _kernel
 
@@ -365,21 +383,30 @@ def band_bounds(nbr: jnp.ndarray, n: int, groups: int):
     return lo, nb
 
 
-@functools.partial(jax.jit, static_argnames=("groups", "interpret"))
+@functools.partial(jax.jit, static_argnames=("groups", "relu", "interpret"))
 def subm_conv_pallas(
     feats: jnp.ndarray,
     w: jnp.ndarray,
     nbr: jnp.ndarray,
     groups: int = 3,
+    scale: jnp.ndarray | None = None,  # [cout] f32: fused BN epilogue
+    shift: jnp.ndarray | None = None,  # [cout] f32
+    relu: bool = False,
     interpret: bool = False,
 ):
     """out[i] = sum_k feats[nbr[i,k]] @ w[k]; feats [n, cin] (sentinel index = n,
     simply out of band), w [K, cin, cout], nbr [m, K] with every column sorted
-    and taps grouped contiguously by x-offset.  m, n multiples of 256."""
+    and taps grouped contiguously by x-offset.  m, n multiples of 256.
+
+    With ``scale``/``shift`` the kernel applies a fused per-channel affine
+    (+ optional ReLU, + row-validity mask) before the output store — the
+    inference-mode BN epilogue without a separate HBM pass."""
     n, cin = feats.shape
     m, k = nbr.shape
     assert m % TILE_M == 0 and n % TILE_N == 0, (m, n)
     assert k % groups == 0, (k, groups)
+    epilogue = scale is not None
+    assert epilogue == (shift is not None)
     tiles = m // TILE_M
     cout = w.shape[2]
 
@@ -393,12 +420,23 @@ def subm_conv_pallas(
     if cin_pad != cin:
         feats = jnp.pad(feats, ((0, 0), (0, cin_pad - cin)))
 
+    ep_specs = (
+        [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # scale [1, cout]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # shift [1, cout]
+        ]
+        if epilogue
+        else []
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec((TILE_M, k), lambda t, lo_r, nb_r: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, whole
+        ]
+        + ep_specs
+        + [
             pl.BlockSpec(memory_space=pl.ANY),  # feats stay in HBM
         ],
         out_specs=pl.BlockSpec(
@@ -411,11 +449,18 @@ def subm_conv_pallas(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = _make_kernel(k, cin, cout, groups)
+    kernel = _make_kernel(k, cin, cout, groups, epilogue=epilogue, relu=relu, n_src=n)
+    args = [lo, nb, nbr, w]
+    if epilogue:
+        args += [
+            scale.astype(jnp.float32).reshape(1, cout),
+            shift.astype(jnp.float32).reshape(1, cout),
+        ]
+    args.append(feats)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, cout), jnp.float32),
         compiler_params=_VMEM_LIMIT,
         interpret=interpret,
-    )(lo, nb, nbr, w, feats)
+    )(*args)

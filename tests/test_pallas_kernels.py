@@ -102,6 +102,99 @@ def test_pallas_conv_downup8_matches_oracle(seed, n, m, cin, cout, density):
     np.testing.assert_array_equal(np.asarray(out), _conv_oracle(feats, w, nbr))
 
 
+@pytest.mark.parametrize(
+    "seed,k,groups,relu,density",
+    [
+        (40, 27, 3, True, 0.8),
+        (41, 27, 3, False, 0.4),
+        (42, 8, 2, True, 0.6),
+        (43, 8, 2, True, 0.0),  # all-sentinel rows: mask must re-zero the shift
+    ],
+)
+def test_pallas_conv_fused_bn_epilogue(seed, k, groups, relu, density):
+    """scale/shift(+ReLU) epilogue == conv -> affine -> mask-invalid-rows.
+
+    Integer feats/weights with power-of-two scale/shift keep every value
+    exactly representable, so the comparison is bitwise."""
+    rng = np.random.default_rng(seed)
+    n, m, cin, cout = 512, 256, 8, 16
+    feats = _int_feats(rng, n, cin)
+    w = rng.integers(-4, 5, size=(k, cin, cout)).astype(np.float32)
+    nbr = _sorted_nbr(rng, m, k, n, density)
+    scale = (2.0 ** rng.integers(-2, 3, cout)).astype(np.float32)
+    shift = rng.integers(-8, 9, cout).astype(np.float32)
+    out = pconv.subm_conv_pallas(
+        jnp.asarray(feats), jnp.asarray(w), jnp.asarray(nbr), groups=groups,
+        scale=jnp.asarray(scale), shift=jnp.asarray(shift), relu=relu, interpret=True,
+    )
+    want = _conv_oracle(feats, w, nbr) * scale + shift
+    if relu:
+        want = np.maximum(want, 0.0)
+    want *= (nbr.min(axis=1, keepdims=True) < n).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(out), want)
+
+
+def test_conv_bn_batched_fallback_matches_unfused():
+    """The XLA fallback of subm/down/up_conv_bn_batched == unfused conv
+    followed by the BN affine, with invalid rows zeroed (the MaskedBatchNorm
+    eval-mode contract)."""
+    from lidal_tpu.ops.conv import (
+        down_conv_batched, down_conv_bn_batched,
+        subm_conv_batched, subm_conv_bn_batched,
+        up_conv_batched, up_conv_bn_batched,
+    )
+
+    rng = np.random.default_rng(44)
+    b, nf, nc, cin, cout = 2, 64, 32, 8, 16
+    x = rng.standard_normal((b, nf, cin)).astype(np.float32)
+    xc = rng.standard_normal((b, nc, cin)).astype(np.float32)
+    scale = rng.uniform(0.5, 1.5, cout).astype(np.float32)
+    shift = rng.normal(scale=0.3, size=cout).astype(np.float32)
+
+    w3 = rng.standard_normal((27, cin, cout)).astype(np.float32) * 0.1
+    nbr = np.full((b, nf, 27), nf, np.int32)
+    for bi in range(b):
+        for j in range(27):
+            rows = rng.choice(nf, size=nf // 2, replace=False)
+            nbr[bi, np.sort(rows), j] = np.sort(rng.choice(nf, nf // 2, replace=False))
+    nbr[:, :, 13] = np.arange(nf)  # center tap: all rows valid except the last 4
+    nbr[:, -4:, :] = nf
+    y = subm_conv_bn_batched(jnp.asarray(x), jnp.asarray(w3), jnp.asarray(nbr),
+                             jnp.asarray(scale), jnp.asarray(shift), relu=True)
+    ref = np.asarray(subm_conv_batched(jnp.asarray(x), jnp.asarray(w3), jnp.asarray(nbr)))
+    ref = np.maximum(ref * scale + shift, 0.0)
+    ref[np.asarray(nbr).min(-1) >= nf] = 0.0
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+
+    w2 = rng.standard_normal((8, cin, cout)).astype(np.float32) * 0.1
+    child = np.full((b, nc, 8), nf, np.int32)
+    parent = np.full((b, nf), nc, np.int32)
+    pdelta = np.zeros((b, nf), np.int32)
+    for bi in range(b):
+        for ci in range(nc - 2):  # last 2 coarse rows invalid
+            kids = rng.choice(nf, size=2, replace=False)
+            child[bi, ci, rng.integers(0, 8, 2)] = kids
+            parent[bi, kids] = ci
+            pdelta[bi, kids] = rng.integers(0, 8, 2)
+    y = down_conv_bn_batched(jnp.asarray(x), jnp.asarray(w2), jnp.asarray(child),
+                             jnp.asarray(scale), jnp.asarray(shift), relu=False)
+    ref = np.asarray(down_conv_batched(jnp.asarray(x), jnp.asarray(w2),
+                                       jnp.asarray(child), jnp.asarray(parent),
+                                       jnp.asarray(pdelta)))
+    ref = ref * scale + shift
+    ref[np.asarray(child).min(-1) >= nf] = 0.0
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+
+    y = up_conv_bn_batched(jnp.asarray(xc), jnp.asarray(w2), jnp.asarray(parent),
+                           jnp.asarray(pdelta), jnp.asarray(scale), jnp.asarray(shift),
+                           relu=True)
+    ref = np.asarray(up_conv_batched(jnp.asarray(xc), jnp.asarray(w2), jnp.asarray(child),
+                                     jnp.asarray(parent), jnp.asarray(pdelta)))
+    ref = np.maximum(ref * scale + shift, 0.0)
+    ref[np.asarray(parent) >= nc] = 0.0
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+
+
 def test_pallas_conv_band_edges():
     """Indices hugging block boundaries (0, TN-1, TN, n-1) and single-row bands."""
     rng = np.random.default_rng(20)
