@@ -274,13 +274,25 @@ def run_lidal_round(
         if len(devices) == 1:
             worker(0)
         else:
+            # A worker failure must fail the ROUND: a died thread would leave
+            # its device's frames silently scored zero, corrupting selection.
+            errors: List[BaseException] = []
+
+            def guarded(i: int):
+                try:
+                    worker(i)
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    errors.append(e)
+
             threads = [
-                threading.Thread(target=worker, args=(i,)) for i in range(len(devices))
+                threading.Thread(target=guarded, args=(i,)) for i in range(len(devices))
             ]
             for t in threads:
                 t.start()
             for t in threads:
                 t.join()
+            if errors:
+                raise errors[0]
 
     if not sv_pre:
         ensure_dir(stats_dir)

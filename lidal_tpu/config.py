@@ -64,6 +64,12 @@ class RunConfig:
     max_iter: int = 20000  # reference train.py:166
     ckpt_every: int = 500  # reference train.py:150
     inf_reps: int = 8  # reference score/prob_inference.py:241
+    # Views computed per device dispatch inside multi-view inference.  All
+    # inf_reps views at SemanticKITTI capacity (131k voxels) exceed one v5e
+    # chip's HBM; views run in chunks of this size (largest divisor of
+    # inf_reps <= view_chunk) and their softmax probabilities are summed —
+    # the view MEAN is identical for any chunking.
+    view_chunk: int = 4
     seed: int = 7122  # reference train.py:23
     data_root: str = "Semantic_kitti/dataset/sequences"
     nu_root: str = "nuScenes"

@@ -39,35 +39,52 @@ def wants_outfeat(cfg: RunConfig) -> bool:
 
 def make_multiview_fn(cfg: RunConfig, eval_step: Callable):
     """Builds jitted (variables, keys [R], xyz [P,3], sig, valid) ->
-    (prob_mean [P,C] f32, pred [P] i32, outfeat_mean [P,F] f32)."""
+    (prob_mean [P,C] f32, pred [P] i32, outfeat_mean [P,F] f32).
+
+    Views run in chunks of ``cfg.view_chunk`` under ``lax.map``: all 8 views at
+    SemanticKITTI capacity in one fused graph exceed a v5e chip's HBM (probed:
+    reps=4 fits, reps=8 aborts).  Each chunk's softmax probabilities/features
+    are summed and the mean is taken over all views at the end — identical to
+    the reference's single mean over 8 views (prob_inference.py:107-118)."""
     data = cfg.data
+    reps = cfg.inf_reps
+    chunk = max(1, min(cfg.view_chunk, reps))
+    while reps % chunk:
+        chunk -= 1
 
     @jax.jit
     def run(variables, keys, xyz, sig, valid):
-        reps = keys.shape[0]
-        xyz_r = jnp.broadcast_to(xyz, (reps,) + xyz.shape)
-        sig_r = jnp.broadcast_to(sig, (reps,) + sig.shape)
-        val_r = jnp.broadcast_to(valid, (reps,) + valid.shape)
-        eb = prepare_eval_batch(
-            keys,
-            xyz_r,
-            sig_r,
-            val_r,
-            level_caps=data.level_caps,
-            scale=data.scale,
-            full_scale=data.full_scale,
-            with_points=cfg.is_spvcnn,
-        )
-        if cfg.is_spvcnn:
-            logits, feat = eval_step(variables, eb.feats, eb.plan, eb.pplan)
-        else:
-            logits, feat = eval_step(variables, eb.feats, eb.plan)
-        logits_p = jax.vmap(project_logits_to_points)(logits, eb.inverse)  # [R, P, C]
-        prob = jax.nn.softmax(logits_p.astype(jnp.float32), axis=-1)
-        prob_mean = prob.mean(axis=0)
+        assert keys.shape[0] == reps, (keys.shape, reps)
+        xyz_r = jnp.broadcast_to(xyz, (chunk,) + xyz.shape)
+        sig_r = jnp.broadcast_to(sig, (chunk,) + sig.shape)
+        val_r = jnp.broadcast_to(valid, (chunk,) + valid.shape)
+
+        def one_chunk(keys_c):
+            eb = prepare_eval_batch(
+                keys_c,
+                xyz_r,
+                sig_r,
+                val_r,
+                level_caps=data.level_caps,
+                scale=data.scale,
+                full_scale=data.full_scale,
+                with_points=cfg.is_spvcnn,
+            )
+            if cfg.is_spvcnn:
+                logits, feat = eval_step(variables, eb.feats, eb.plan, eb.pplan)
+            else:
+                logits, feat = eval_step(variables, eb.feats, eb.plan)
+            logits_p = jax.vmap(project_logits_to_points)(logits, eb.inverse)  # [c, P, C]
+            prob = jax.nn.softmax(logits_p.astype(jnp.float32), axis=-1)
+            feat_p = jax.vmap(project_logits_to_points)(feat, eb.inverse).astype(jnp.float32)
+            return prob.sum(axis=0), feat_p.sum(axis=0)
+
+        # keys may be raw uint32 [reps, 2] or typed [reps]; keep trailing dims
+        keys_c = keys.reshape((reps // chunk, chunk) + keys.shape[1:])
+        prob_sums, feat_sums = jax.lax.map(one_chunk, keys_c)
+        prob_mean = prob_sums.sum(axis=0) / reps
         pred = jnp.argmax(prob_mean, axis=-1).astype(jnp.int32)
-        feat_p = jax.vmap(project_logits_to_points)(feat, eb.inverse).astype(jnp.float32)
-        feat_mean = feat_p.mean(axis=0)
+        feat_mean = feat_sums.sum(axis=0) / reps
         return prob_mean, pred, feat_mean
 
     return run
@@ -163,9 +180,21 @@ def run_prob_inference(
     if len(devices) == 1:
         worker(0)
     else:
-        threads = [threading.Thread(target=worker, args=(i,)) for i in range(len(devices))]
+        # A worker failure must fail the RUN: a died thread would silently
+        # leave its device's frames without prob/pred dumps.
+        errors: list = []
+
+        def guarded(i: int):
+            try:
+                worker(i)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errors.append(e)
+
+        threads = [threading.Thread(target=guarded, args=(i,)) for i in range(len(devices))]
         for t in threads:
             t.start()
         for t in threads:
             t.join()
+        if errors:
+            raise errors[0]
     return results

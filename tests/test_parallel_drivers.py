@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # model-sized CPU compiles (multi-minute cold)
+
 from lidal_tpu.config import RunConfig, SK_CONFIG
 from lidal_tpu.data.loader import FrameBatchLoader
 from lidal_tpu.runtime.evaluate import make_eval_conf_fn
@@ -237,3 +239,36 @@ def test_prob_inference_device_count_invariant(tmp_path):
         np.testing.assert_array_equal(r1[k][0], r4[k][0])
         np.testing.assert_array_equal(r1[k][1], r4[k][1])
         np.testing.assert_array_equal(r1[k][2], r4[k][2])
+
+
+def test_multiview_chunk_invariant(tmp_path):
+    """Chunked multi-view inference (cfg.view_chunk < inf_reps, lax.map over
+    view chunks — the HBM-fitting production shape) must equal the monolithic
+    all-views graph: the view MEAN is invariant to any chunking of the sum."""
+    from lidal_tpu.runtime.prob_inference import make_multiview_fn
+    from lidal_tpu.runtime.train import make_optimizer
+    from lidal_tpu.runtime.train_loop import build_model
+
+    from lidal_tpu.data.pipeline import prepare_train_batch
+
+    cfg = _cfg(tmp_path)
+    model = build_model(cfg)
+    xyz, sig, valid, labels = _points(1, seed=5)
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)
+    tb = prepare_train_batch(keys, xyz, sig, valid, labels, level_caps=CAPS)
+    state = init_state(model, jax.random.PRNGKey(1), tb, make_optimizer())
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    eval_step = make_eval_step(model, cfg.is_spvcnn)
+
+    reps = 4
+    vkeys = jax.random.split(jax.random.PRNGKey(3), reps)
+    args = (variables, vkeys, xyz[0], sig[0], valid[0])
+    outs = {}
+    for vc in (reps, 2, 3):  # monolithic; exact divisor; non-divisor (-> 2)
+        cfg_c = dataclasses.replace(cfg, inf_reps=reps, view_chunk=vc)
+        prob, pred, feat = make_multiview_fn(cfg_c, eval_step)(*args)
+        outs[vc] = (np.asarray(prob), np.asarray(pred), np.asarray(feat))
+    for vc in (2, 3):
+        np.testing.assert_allclose(outs[vc][0], outs[reps][0], atol=1e-6)
+        np.testing.assert_allclose(outs[vc][2], outs[reps][2], atol=1e-5)
+        assert (outs[vc][1] == outs[reps][1]).mean() > 0.999  # fp-tied argmax rows

@@ -225,3 +225,43 @@ def test_lidal_round_device_count_invariant(tmp_path):
     np.testing.assert_array_equal(res1.al_added, res4.al_added)
     np.testing.assert_array_equal(res1.sl_added, res4.sl_added)
     assert len(res1.al_added) > 0  # something was actually selected
+
+
+def test_lidal_round_worker_failure_propagates(tmp_path):
+    """A failure on any device's worker thread must fail the ROUND — a died
+    thread would otherwise leave its frames silently scored zero and corrupt
+    the selection (regression: thread exceptions were only printed)."""
+    import jax
+
+    from lidal_tpu.active.lidal_runner import run_lidal_round
+    from lidal_tpu.data.selection import save_sv_info
+    from lidal_tpu.runtime.paths import Paths, ensure_dir
+
+    rng = np.random.default_rng(9)
+    n_frames, n_pts, n_cls, n_sv = 8, 120, 5, 3
+    cfg = mini_cfg(str(tmp_path), seqs=("00",), r_id=1, metric_name="LiDAL",
+                   label_unit="sv")
+    p0 = Paths(dataclasses.replace(cfg, r_id=0, label_unit="fr"))
+    paths = Paths(cfg)
+    seq = "00"
+    ensure_dir(p0.prob_dir(seq))
+    grid_dir = ensure_dir(paths.grid_dir(seq))
+    svi_dir = ensure_dir(paths.supervoxel_dir(seq, "KMeans"))
+    svf_dir = ensure_dir(paths.sv_flag_dir(seq, r_id=0))
+    gid = 0
+    for fi in range(n_frames):
+        name = f"{fi:06d}"
+        xyz = (rng.random((n_pts, 3)) * 6.0 + np.array([0.4 * fi, 0, 0])).astype(np.float32)
+        np.savez_compressed(os.path.join(grid_dir, f"{name}.npz"), xyz=xyz)
+        if fi != n_frames - 1:  # last frame's prob map is MISSING
+            prob = rng.dirichlet(np.ones(n_cls), n_pts).astype(np.float32)
+            np.save(os.path.join(p0.prob_dir(seq), f"{name}.npy"), prob)
+        point2sv = rng.integers(0, n_sv, n_pts).astype(np.int32)
+        save_sv_info(os.path.join(svi_dir, f"{name}.npz"), point2sv,
+                     np.arange(gid, gid + n_sv, dtype=np.int64))
+        gid += n_sv
+        np.save(os.path.join(svf_dir, f"{name}.npy"),
+                np.full(n_sv, 1 if fi == 0 else 0, np.int32))
+    with pytest.raises(FileNotFoundError):
+        run_lidal_round(cfg, train_point_num=n_frames * n_pts * 40,
+                        devices=jax.devices()[:4])
