@@ -7,6 +7,7 @@ variables must give bit-identical logits — validating the name map, tap
 permutations, and transposes without needing torchsparse."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,6 +53,7 @@ def _variables():
     return model, variables, tb
 
 
+@pytest.mark.slow  # model forward compile
 def test_roundtrip_and_logits():
     model, variables, tb = _variables()
     sd = export_minkunet_state_dict(variables)
@@ -81,6 +83,7 @@ def test_roundtrip_and_logits():
     np.testing.assert_array_equal(np.asarray(logits_a), np.asarray(logits_b))
 
 
+@pytest.mark.slow  # model forward compile
 def test_spvcnn_roundtrip_and_logits():
     from lidal_tpu.models.spvcnn import SPVCNN
     from lidal_tpu.ops.devoxelize import build_point_plan
@@ -123,6 +126,7 @@ def test_spvcnn_roundtrip_and_logits():
     np.testing.assert_array_equal(np.asarray(feat_a), np.asarray(feat_b))
 
 
+@pytest.mark.slow  # model forward compile
 def test_load_torch_checkpoint_detects_model(tmp_path):
     """load_torch_checkpoint routes by the point-transform keys (and by the
     explicit flag) and reproduces the converted tree through the torch pickle."""

@@ -1,6 +1,7 @@
 """SPVCNN + point-branch op tests."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -93,6 +94,7 @@ def test_devox_and_p2v_roundtrip_constant_field():
     assert (vavg[~nonempty] == 0).all()
 
 
+@pytest.mark.slow  # full SPVCNN compile (multi-minute cold on CPU)
 def test_spvcnn_forward_and_grads():
     rng = np.random.default_rng(3)
     b, n = 2, 300
