@@ -141,14 +141,16 @@ def build_manifest(
 def load_splits(
     scene_names: List[str], splits_path: Optional[str] = None
 ) -> Tuple[List[str], List[str]]:
-    """(train_scenes, val_scenes).  Prefers an explicit splits.json; then the
-    official devkit split (if nuscenes-devkit is installed); falls back to a
-    deterministic sorted 85/15 split with a warning."""
+    """(train_scenes, val_scenes).  Precedence: an explicit splits.json
+    override; the devkit (if installed); the official split shipped in-repo
+    (``nuscenes_splits.OFFICIAL_VAL``, the devkit's public constant); a
+    deterministic sorted 85/15 split with a warning as the last resort (only
+    reached for scene sets disjoint from trainval, e.g. synthetic tests)."""
     if splits_path and os.path.exists(splits_path):
         with open(splits_path) as f:
             sp = json.load(f)
         return list(sp["train"]), list(sp["val"])
-    try:  # official 700/150 lists live in the devkit (public constants)
+    try:  # devkit first: authoritative if the user installed it
         from nuscenes.utils.splits import create_splits_scenes
 
         sp = create_splits_scenes()
@@ -159,6 +161,11 @@ def load_splits(
             return train, val
     except ImportError:
         pass
+    from lidal_tpu.data.nuscenes_splits import official_split
+
+    official = official_split(scene_names)
+    if official is not None:
+        return official
     import warnings
 
     warnings.warn(

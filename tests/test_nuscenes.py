@@ -123,7 +123,8 @@ def test_quaternion_rotation_roundtrip():
 def test_splits_fallback(tmp_path):
     import pytest
 
-    names = [f"scene-{i:04d}" for i in range(20)]
+    # names disjoint from the official val set -> last-resort 85/15 fallback
+    names = [f"scene-{i:04d}" for i in range(1090, 1110)]
     with pytest.warns(UserWarning, match="85/15"):
         tr, va = nu.load_splits(names)
     assert len(tr) == 17 and len(va) == 3
@@ -133,3 +134,24 @@ def test_splits_fallback(tmp_path):
         json.dump(sp, f)
     tr2, va2 = nu.load_splits(names, p)
     assert tr2 == names[:5] and va2 == names[5:8]
+
+
+def test_splits_official_constant():
+    """The shipped OFFICIAL_VAL constant partitions scene sets the way the
+    devkit split does: val membership by name, train = complement."""
+    from lidal_tpu.data.nuscenes_splits import OFFICIAL_VAL, official_split
+
+    assert len(OFFICIAL_VAL) == 150
+    assert all(s.startswith("scene-") and len(s) == 10 for s in OFFICIAL_VAL)
+    # a subset containing official-val scenes splits by membership
+    names = [f"scene-{i:04d}" for i in range(20)]
+    tr, va = nu.load_splits(names)
+    assert set(va) == {s for s in names if s in OFFICIAL_VAL}
+    assert set(tr) == {s for s in names if s not in OFFICIAL_VAL}
+    assert len(va) == 8  # scene-0003, scene-0012..0018
+    # a full 850-scene trainval table must carve exactly 700/150
+    trainval = sorted(OFFICIAL_VAL) + [f"scene-{i:04d}" for i in range(2000, 2700)]
+    tr, va = official_split(trainval)
+    assert len(tr) == 700 and len(va) == 150
+    # disjoint sets return None (caller falls back)
+    assert official_split([f"scene-{i:04d}" for i in range(2000, 2010)]) is None
