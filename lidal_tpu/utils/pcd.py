@@ -43,13 +43,55 @@ def lzf_decompress(data: bytes, expected: int) -> bytes:
 
 
 def lzf_compress(data: bytes) -> bytes:
-    """Trivial-but-valid LZF stream: emit everything as literal runs (max 32
-    bytes each).  Decompressors accept it; size overhead ~3%."""
+    """LZF compression (libLZF stream format, same encoding the reference's
+    pypcd gets from the C ``lzf`` module): greedy hash-table matcher emitting
+    back-references (offset <= 8191, length 3..264) between literal runs of
+    up to 32 bytes.  Round-trips through :func:`lzf_decompress` and through
+    libLZF decompressors."""
+    n = len(data)
     out = bytearray()
-    for i in range(0, len(data), 32):
-        chunk = data[i : i + 32]
-        out.append(len(chunk) - 1)
-        out += chunk
+    htab = [-1] * 8192
+    lit_start = 0  # start of the pending literal run
+    i = 0
+
+    def flush_literals(upto: int) -> None:
+        j = lit_start
+        while j < upto:
+            run = min(32, upto - j)
+            out.append(run - 1)
+            out.extend(data[j : j + run])
+            j += run
+
+    while i + 2 < n:
+        h = ((data[i] << 16) | (data[i + 1] << 8) | data[i + 2])
+        slot = ((h * 2654435761) >> 16) & 8191
+        ref = htab[slot]
+        htab[slot] = i
+        off = i - ref - 1
+        if (
+            ref >= 0
+            and off < 8192
+            and data[ref] == data[i]
+            and data[ref + 1] == data[i + 1]
+            and data[ref + 2] == data[i + 2]
+        ):
+            length = 3
+            maxlen = min(264, n - i)
+            while length < maxlen and data[ref + length] == data[i + length]:
+                length += 1
+            flush_literals(i)
+            enc = length - 2
+            if enc < 7:
+                out.append((enc << 5) | (off >> 8))
+            else:
+                out.append((7 << 5) | (off >> 8))
+                out.append(enc - 7)
+            out.append(off & 0xFF)
+            i += length
+            lit_start = i
+        else:
+            i += 1
+    flush_literals(n)
     return bytes(out)
 
 
@@ -101,7 +143,18 @@ def read_pcd(path: str) -> Dict[str, np.ndarray]:
     return {nm: np.ascontiguousarray(data[nm]) for nm in names}
 
 
-def write_pcd(path: str, columns: Dict[str, np.ndarray], binary: bool = True) -> None:
+def write_pcd(
+    path: str,
+    columns: Dict[str, np.ndarray],
+    binary: bool = True,
+    mode: str | None = None,
+) -> None:
+    """``mode`` in {"ascii", "binary", "binary_compressed"} (reference
+    pypcd.py:641 supports all three); the legacy ``binary`` flag maps to
+    binary/ascii when ``mode`` is not given."""
+    if mode is None:
+        mode = "binary" if binary else "ascii"
+    assert mode in ("ascii", "binary", "binary_compressed"), mode
     names = list(columns)
     cols = [np.asarray(columns[nm]) for nm in names]
     n = len(cols[0])
@@ -123,7 +176,7 @@ def write_pcd(path: str, columns: Dict[str, np.ndarray], binary: bool = True) ->
             "HEIGHT 1",
             "VIEWPOINT 0 0 0 1 0 0 0",
             f"POINTS {n}",
-            "DATA " + ("binary" if binary else "ascii"),
+            f"DATA {mode}",
         ]
     )
     dtype = np.dtype([(nm, "<" + c.dtype.str[1:]) for nm, c in zip(names, cols)])
@@ -132,8 +185,15 @@ def write_pcd(path: str, columns: Dict[str, np.ndarray], binary: bool = True) ->
         rec[nm] = c
     with open(path, "wb") as f:
         f.write((header + "\n").encode())
-        if binary:
+        if mode == "binary":
             f.write(rec.tobytes())
+        elif mode == "binary_compressed":
+            # columns stored contiguously (SoA), lzf'd, prefixed by
+            # [compressed_size, uncompressed_size] uint32 (pypcd format)
+            soa = b"".join(np.ascontiguousarray(rec[nm]).tobytes() for nm in names)
+            comp = lzf_compress(soa)
+            f.write(np.array([len(comp), len(soa)], np.uint32).tobytes())
+            f.write(comp)
         else:
             for row in rec:
                 f.write((" ".join(repr(float(v)) if isinstance(v, np.floating) else str(v) for v in row) + "\n").encode())
