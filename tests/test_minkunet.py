@@ -1,6 +1,7 @@
 """MinkUNet: shapes, masking invariants, train/eval modes, gradients."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,6 +24,7 @@ def _batch(rng, b=2, n=400, extent=16):
     return plan, feats
 
 
+@pytest.mark.slow
 def test_minkunet_forward_shapes_and_masking():
     rng = np.random.default_rng(0)
     plan, feats = _batch(rng)
@@ -38,6 +40,7 @@ def test_minkunet_forward_shapes_and_masking():
     assert "params" in variables and "batch_stats" in variables
 
 
+@pytest.mark.slow
 def test_minkunet_train_updates_batch_stats_and_grads_flow():
     rng = np.random.default_rng(1)
     plan, feats = _batch(rng)

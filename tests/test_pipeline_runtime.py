@@ -4,6 +4,7 @@ import dataclasses
 import os
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -130,6 +131,7 @@ def test_checkpoint_roundtrip_and_warm_start(tmp_path):
     np.testing.assert_array_equal(np.asarray(got.params["w"]), np.arange(4.0))
 
 
+@pytest.mark.slow
 def test_multichip_dryrun_on_cpu_mesh():
     import __graft_entry__ as g
 
@@ -137,6 +139,7 @@ def test_multichip_dryrun_on_cpu_mesh():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_entry_compiles():
     import __graft_entry__ as g
 
