@@ -37,9 +37,13 @@ def wants_outfeat(cfg: RunConfig) -> bool:
     return cfg.r_id == 0 or cfg.metric_name in ("ReDAL", "CSET")
 
 
-def make_multiview_fn(cfg: RunConfig, eval_step: Callable):
+def make_multiview_fn(cfg: RunConfig, eval_step: Callable, with_feat: Optional[bool] = None):
     """Builds jitted (variables, keys [R], xyz [P,3], sig, valid) ->
-    (prob_mean [P,C] f32, pred [P] i32, outfeat_mean [P,F] f32).
+    (prob_mean [P,C] f32, pred [P] i32, outfeat_mean [P,F] f32 | None).
+
+    ``with_feat`` defaults to :func:`wants_outfeat`; when False the per-view
+    feature projection/mean is dropped from the graph entirely (LiDAL rounds
+    >= 1 never read outfeat — reference prob_inference.py:103,116,131).
 
     Views run in chunks of ``cfg.view_chunk`` under ``lax.map``: all 8 views at
     SemanticKITTI capacity in one fused graph exceed a v5e chip's HBM (probed:
@@ -48,6 +52,8 @@ def make_multiview_fn(cfg: RunConfig, eval_step: Callable):
     the reference's single mean over 8 views (prob_inference.py:107-118)."""
     data = cfg.data
     reps = cfg.inf_reps
+    if with_feat is None:
+        with_feat = wants_outfeat(cfg)
     chunk = max(1, min(cfg.view_chunk, reps))
     while reps % chunk:
         chunk -= 1
@@ -76,15 +82,21 @@ def make_multiview_fn(cfg: RunConfig, eval_step: Callable):
                 logits, feat = eval_step(variables, eb.feats, eb.plan)
             logits_p = jax.vmap(project_logits_to_points)(logits, eb.inverse)  # [c, P, C]
             prob = jax.nn.softmax(logits_p.astype(jnp.float32), axis=-1)
+            if not with_feat:
+                return prob.sum(axis=0)
             feat_p = jax.vmap(project_logits_to_points)(feat, eb.inverse).astype(jnp.float32)
             return prob.sum(axis=0), feat_p.sum(axis=0)
 
         # keys may be raw uint32 [reps, 2] or typed [reps]; keep trailing dims
         keys_c = keys.reshape((reps // chunk, chunk) + keys.shape[1:])
-        prob_sums, feat_sums = jax.lax.map(one_chunk, keys_c)
+        if with_feat:
+            prob_sums, feat_sums = jax.lax.map(one_chunk, keys_c)
+            feat_mean = feat_sums.sum(axis=0) / reps
+        else:
+            prob_sums = jax.lax.map(one_chunk, keys_c)
+            feat_mean = None
         prob_mean = prob_sums.sum(axis=0) / reps
         pred = jnp.argmax(prob_mean, axis=-1).astype(jnp.int32)
-        feat_mean = feat_sums.sum(axis=0) / reps
         return prob_mean, pred, feat_mean
 
     return run

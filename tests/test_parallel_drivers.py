@@ -266,9 +266,15 @@ def test_multiview_chunk_invariant(tmp_path):
     outs = {}
     for vc in (reps, 2, 3):  # monolithic; exact divisor; non-divisor (-> 2)
         cfg_c = dataclasses.replace(cfg, inf_reps=reps, view_chunk=vc)
-        prob, pred, feat = make_multiview_fn(cfg_c, eval_step)(*args)
+        prob, pred, feat = make_multiview_fn(cfg_c, eval_step, with_feat=True)(*args)
         outs[vc] = (np.asarray(prob), np.asarray(pred), np.asarray(feat))
     for vc in (2, 3):
         np.testing.assert_allclose(outs[vc][0], outs[reps][0], atol=1e-6)
         np.testing.assert_allclose(outs[vc][2], outs[reps][2], atol=1e-5)
         assert (outs[vc][1] == outs[reps][1]).mean() > 0.999  # fp-tied argmax rows
+    # with_feat=False (LiDAL rounds >= 1): same prob/pred, feature path dropped
+    cfg_c = dataclasses.replace(cfg, inf_reps=reps, view_chunk=2)
+    prob_nf, pred_nf, feat_nf = make_multiview_fn(cfg_c, eval_step, with_feat=False)(*args)
+    assert feat_nf is None
+    np.testing.assert_allclose(np.asarray(prob_nf), outs[2][0], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(pred_nf), outs[2][1])
