@@ -180,7 +180,12 @@ def _bench_lidal_ring(rng, B: int):
     """Section 2: LiDAL scoring steady-state s/frame (production ring pattern:
     neighbor grids + grid-sorted prob maps device-resident in a 24-slot ring;
     per frame the sliding window replaces 2 slots (in-place donated writes)
-    and scoring is one band-NN kernel launch + KL accumulation)."""
+    and scoring is one band-NN kernel launch + KL accumulation).  Like the
+    production ``run_lidal_round`` worker, the next frame's ring upload runs
+    on an IO thread while the current frame scores, and the result pull of
+    frame i-1 overlaps frame i's dispatch."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import jax.numpy as jnp
 
     from lidal_tpu.active import lidal
@@ -198,32 +203,43 @@ def _bench_lidal_ring(rng, B: int):
 
     frames = [synth_entry(i) for i in range(n_frames)]
     ring = NeighborRing(NEI + 2, P_CAP)
+    io = ThreadPoolExecutor(max_workers=1)
+
+    def prefetch(fi):
+        """Warm the ring for frame fi (the one new window entrant uploads)."""
+        ring.ensure([fi] + lidal.neighbor_ids(fi, n_frames), lambda k: frames[k])
 
     def dispatch(fi):
-        """Steady-state frame: the query is ring-resident (zero upload);
-        ensure() transfers only the one frame entering the window."""
-        ring.ensure([fi] + lidal.neighbor_ids(fi, n_frames), lambda k: frames[k])
+        """Steady-state frame: the query is ring-resident (zero upload)."""
         w = jnp.asarray(ring.weights(lidal.neighbor_ids(fi, n_frames)))
         return lidal.score_slot(ring.state, ring.key2slot[fi], w)
 
     f0 = NEI // 2
-    interd, _ = dispatch(f0)  # compile + warm the ring
-    assert np.isfinite(np.asarray(interd)[:N_PTS]).all()
+    prefetch(f0)
+    scores = np.asarray(dispatch(f0))  # compile + warm the ring; [2, cap]
+    assert np.isfinite(scores[0, :N_PTS]).all()
     best = None
     for rep in range(2):
         # the window keeps sliding forward: every measured frame does the
-        # production steady-state work (1 new-neighbor upload + 1 ring write +
-        # 1 score dispatch + 1 result pull), pipelined one frame deep
+        # production steady-state work (1 new-neighbor upload on the IO
+        # thread + 1 ring write + 1 score dispatch + 1 result pull),
+        # pipelined one frame deep exactly like run_lidal_round's worker
+        lo = f0 + 1 + rep * K
+        nxt = io.submit(prefetch, lo)
         t0 = time.perf_counter()
         pending = None
-        for fi in range(f0 + 1 + rep * K, f0 + 1 + (rep + 1) * K):
+        for fi in range(lo, lo + K):
+            nxt.result()
             out = dispatch(fi)
+            if fi + 1 < lo + K:
+                nxt = io.submit(prefetch, fi + 1)
             if pending is not None:
-                np.asarray(pending[0])
+                np.asarray(pending)  # one stacked [2, cap] pull per frame
             pending = out
-        interd = np.asarray(pending[0])
+        interd = np.asarray(pending)[0]
         assert np.isfinite(interd[:N_PTS]).all()
         best = min(best or 1e9, (time.perf_counter() - t0) / K)
+    io.shutdown(wait=False)
     return best
 
 

@@ -141,13 +141,16 @@ def _score_slot_device(nei_probs, grids, slot, weights):
     grid_q = jax.tree_util.tree_map(lambda a: a[slot], grids)
     pq = prepared_from_grid(grid_q)
     q_prob_s = nei_probs[slot]
-    return _accumulate_and_unsort(pq, q_prob_s, nei_probs, grids, weights)
+    interd, intere = _accumulate_and_unsort(pq, q_prob_s, nei_probs, grids, weights)
+    # one stacked output buffer: the runner pulls BOTH score vectors in a
+    # single host transfer (per-frame RPC count matters on remote backends)
+    return jnp.stack([interd, intere])
 
 
 def score_slot(ring_state, slot, weights):
     """Production entry: score ring slot ``slot`` against all slots weighted by
-    ``weights`` [S] (its own slot at 0).  Returns (interd, intere) [cap] in the
-    frame's ORIGINAL point order."""
+    ``weights`` [S] (its own slot at 0).  Returns stacked [2, cap]
+    (interd, intere) in the frame's ORIGINAL point order."""
     grids, probs = ring_state
     return _score_slot_device(probs, grids, jnp.asarray(slot), weights)
 

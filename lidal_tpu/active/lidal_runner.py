@@ -64,6 +64,23 @@ def _ring_write(state, slot, grid, prob_sorted):
     return grids, probs.at[slot].set(prob_sorted)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("cell",))
+def _ring_insert(state, slot, buf, n, cell: float = lidal.DIS_THRESH):
+    """Fused insert: build the frame's hash grid + grid-sorted prob and write
+    ring slot ``slot`` in ONE dispatch.  ``buf`` is one packed [cap, 3 + C] f32
+    upload (xyz | prob); validity derives from the point count ``n`` on device.
+    Remote backends pay per host<->device RPC, so the steady-state cost per
+    scored frame is exactly: 1 buf upload + this dispatch + 1 score dispatch
+    + 1 stacked result pull."""
+    import jax.numpy as jnp
+
+    xyz = buf[:, :3]
+    prob = buf[:, 3:]
+    valid = jnp.arange(buf.shape[0], dtype=jnp.int32) < n
+    grid = build_grid(xyz, valid, cell)
+    return _ring_write(state, slot, grid, prob[grid.src_idx])
+
+
 class NeighborRing:
     """Per-device ring of (hash grid, grid-sorted prob) slots, stacked on a
     leading slot axis so scoring is ONE kernel launch over all neighbors.
@@ -114,19 +131,14 @@ class NeighborRing:
             xyz, prob = loader(k)
             if self.state is None:
                 self._alloc(prob.shape[1])
-            self.meta[k] = (min(len(xyz), self.cap_in), xyz)
             n = min(len(xyz), self.cap_in)
-            xyz_pad = np.zeros((self.cap_in, 3), np.float32)
-            xyz_pad[:n] = xyz[:n]
-            valid = np.zeros((self.cap_in,), bool)
-            valid[:n] = True
-            prob_pad = np.zeros((self.cap_in, prob.shape[1]), np.float32)
-            prob_pad[:n] = prob[:n]
-            grid, psort = _build_entry(
-                self._put(xyz_pad), self._put(valid), self._put(prob_pad)
-            )
+            self.meta[k] = (n, xyz)
+            # one packed upload (xyz | prob) + one fused build+write dispatch
+            buf = np.zeros((self.cap_in, 3 + prob.shape[1]), np.float32)
+            buf[:n, :3] = xyz[:n]
+            buf[:n, 3:] = prob[:n]
             slot = self.free.pop()
-            self.state = _ring_write(self.state, slot, grid, psort)
+            self.state = _ring_insert(self.state, slot, self._put(buf), n)
             self.key2slot[k] = slot
 
     def weights(self, keys: Sequence) -> np.ndarray:
@@ -213,11 +225,13 @@ def run_lidal_round(
             prob = np.load(os.path.join(prob_dir, f"{nname}.npy")).astype(np.float32)
             return xyz, prob
 
-        def aggregate(fi: int, p: int, q_xyz, interd_j, intere_j):
-            """Pull one frame's device results and fold into the sv arrays."""
+        def aggregate(fi: int, p: int, q_xyz, scores_j):
+            """Pull one frame's device results (ONE [2, cap] transfer) and
+            fold into the sv arrays."""
             name = names[fi]
-            interd = np.asarray(interd_j)[:p]
-            intere = np.asarray(intere_j)[:p]
+            scores = np.asarray(scores_j)
+            interd = scores[0, :p]
+            intere = scores[1, :p]
             point2sv, sv_gid = load_sv_info(os.path.join(svi_dir, f"{name}.npz"))
             n_sv = len(sv_gid)
             if sv_pre:
@@ -254,19 +268,19 @@ def run_lidal_round(
                 ring.ensure([fi] + lidal.neighbor_ids(fi, len(names)), load_frame)
 
             nxt = io.submit(prefetch, chunk[0])
-            pending = None  # (fi, p, q_xyz, interd_j, intere_j)
+            pending = None  # (fi, p, q_xyz, stacked [2, cap] scores)
             for fi in chunk:
                 nxt.result()
                 nei = lidal.neighbor_ids(fi, len(names))
                 w = put(ring.weights(nei))
                 slot = ring.key2slot[fi]
                 p, q_xyz = ring.meta[fi]
-                interd_j, intere_j = lidal.score_slot(ring.state, slot, w)
+                scores_j = lidal.score_slot(ring.state, slot, w)
                 if fi + 1 in chunk:
                     nxt = io.submit(prefetch, fi + 1)
                 if pending is not None:
                     aggregate(*pending)  # drains frame i-1 while frame i computes
-                pending = (fi, p, q_xyz, interd_j, intere_j)
+                pending = (fi, p, q_xyz, scores_j)
             if pending is not None:
                 aggregate(*pending)
             io.shutdown(wait=False)

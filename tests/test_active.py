@@ -362,7 +362,7 @@ def test_score_slot_matches_score_frame():
     ring = NeighborRing(4 + 2, cap=n, device=None)
     ring.ensure([fi] + nei, lambda k: frames[k])
     w = jnp.asarray(ring.weights(nei))
-    interd_s, intere_s = lidal.score_slot(ring.state, ring.key2slot[fi], w)
+    interd_s, intere_s = lidal.score_slot(ring.state, ring.key2slot[fi], w)  # [2, cap]
 
     q_xyz, q_prob = frames[fi]
     grids = [lidal.make_neighbor_grid(frames[k][0]) for k in nei]
