@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+from jax import lax
 
 from lidal_tpu.ops.hashing import SENTINEL_KEY, pack_keys, sort_with_keys
 
@@ -51,7 +52,14 @@ class UniqueVoxels(NamedTuple):
 
 
 def unique_voxels(coords: jnp.ndarray, valid: jnp.ndarray, cap_out: int) -> UniqueVoxels:
-    """Deduplicate integer voxel coords [n, 3] under a validity mask."""
+    """Deduplicate integer voxel coords [n, 3] under a validity mask.
+
+    Scatter-free: on TPU each [n]-sized scatter costs ~5x a stable 1-key sort of
+    the same size (measured: +2.4/+2.4/+4.6 ms per scatter vs +0.5 ms per sort at
+    n = 131072, tools/probe_unique_parts.py), so ``first_src``/``counts`` come from
+    one compaction sort of group starts and ``inverse`` from a permutation-inverting
+    sort.
+    """
     n = coords.shape[0]
     hi, lo = pack_keys(coords, valid)
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -63,27 +71,34 @@ def unique_voxels(coords: jnp.ndarray, valid: jnp.ndarray, cap_out: int) -> Uniq
     first = ((s_hi != prev_hi) | (s_lo != prev_lo)) & s_valid
 
     # NOTE: plain cumsum here — the matmul-based ops.prefix variant blows up
-    # XLA compile time (~2 min) when fused into this scatter-heavy graph.
+    # XLA compile time (~2 min) when fused into this graph.
     group = jnp.cumsum(first.astype(jnp.int32)) - 1  # sorted-pos -> voxel id
     num_unique = first.sum().astype(jnp.int32)
+    n_valid = s_valid.sum().astype(jnp.int32)
 
-    in_cap = group < cap_out
-    tgt_first = jnp.where(first & in_cap, group, cap_out)
-    first_src = jnp.zeros(cap_out, jnp.int32).at[tgt_first].set(s_idx, mode="drop")
+    # Compact the sorted positions of group starts to the front (stable, so they
+    # stay in ascending-group order).  starts[g] = sorted position where voxel g
+    # begins; slots past num_unique are pinned to n_valid so diffs vanish.
+    comp_pos = lax.sort((jnp.where(first, 0, 1).astype(jnp.int32), idx), num_keys=1)[1]
+    m = min(cap_out + 1, n)
+    starts = jnp.where(jnp.arange(m) < num_unique, comp_pos[:m], n_valid)
+    if m < cap_out + 1:  # cap_out >= n: pad (no overflow possible in this regime)
+        starts = jnp.concatenate([starts, jnp.broadcast_to(n_valid, (cap_out + 1 - m,))])
+    counts = (starts[1:] - starts[:cap_out]).astype(jnp.int32)
 
     out_valid = jnp.arange(cap_out) < jnp.minimum(num_unique, cap_out)
+    # s_idx at a group's start = lowest original index of that voxel (stable sort),
+    # i.e. np.unique(..., return_index=True) semantics.
+    first_src = jnp.where(out_valid, s_idx[jnp.minimum(starts[:cap_out], n - 1)], 0)
     out_coords = jnp.where(out_valid[:, None], coords[first_src], 0).astype(jnp.int32)
     key_hi, key_lo = pack_keys(out_coords, out_valid)
 
-    # point -> voxel id (original order); overflow/invalid -> cap_out sentinel
-    pt_group = jnp.where(s_valid & in_cap, group, cap_out)
-    inverse = jnp.zeros(n, jnp.int32).at[s_idx].set(pt_group.astype(jnp.int32))
+    # point -> voxel id (original order); overflow/invalid -> cap_out sentinel.
+    # s_idx is a permutation of arange(n), so sorting by it inverts the main sort.
+    in_cap = group < cap_out
+    pt_group = jnp.where(s_valid & in_cap, group, cap_out).astype(jnp.int32)
+    inverse = lax.sort((s_idx, pt_group), num_keys=1)[1]
 
-    counts = (
-        jnp.zeros(cap_out, jnp.int32)
-        .at[jnp.where(s_valid & in_cap, group, cap_out)]
-        .add(1, mode="drop")
-    )
     return UniqueVoxels(out_coords, key_hi, key_lo, out_valid, first_src, inverse, counts, num_unique)
 
 
