@@ -115,9 +115,9 @@ def _accumulate_and_unsort(pq, q_prob_s, nei_probs, grids, weights):
         (d2_all, row_all, nei_probs, weights),
     )
     interd, intere = _finalize(sum_prob, interd, map_count)
-    p = q_prob_s.shape[0]
-    interd = jnp.zeros((p,), jnp.float32).at[pq.s_qidx].set(interd)
-    intere = jnp.zeros((p,), jnp.float32).at[pq.s_qidx].set(intere)
+    # unsort via ONE permutation-inverting sort (s_qidx is a permutation);
+    # [p]-sized scatters cost ~5x a 1-key sort on TPU (tools/probe_unique_parts.py)
+    _, interd, intere = jax.lax.sort((pq.s_qidx, interd, intere), num_keys=1)
     return interd, intere
 
 

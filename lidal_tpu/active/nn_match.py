@@ -258,14 +258,15 @@ def nn_query(
     grids = stack_grids([grid])
     d2, row = nn_query_band(grids, pq)
     d2, row = d2[0], row[0]
-    p = q_xyz.shape[0]
     cap = grid.src_idx.shape[0]
     dist_s = jnp.sqrt(d2)
     found_s = (dist_s <= cell) & pq.s_ok
     src_s = jnp.where(
         found_s, take_values(grid.src_idx, jnp.minimum(row, cap - 1), sorted_unique=False), 0
     )
-    dist = jnp.zeros((p,), jnp.float32).at[pq.s_qidx].set(dist_s)
-    nn_src = jnp.zeros((p,), jnp.int32).at[pq.s_qidx].set(src_s)
-    found = jnp.zeros((p,), bool).at[pq.s_qidx].set(found_s)
+    # unsort via ONE permutation-inverting sort (s_qidx is a permutation);
+    # [p]-sized scatters cost ~5x a 1-key sort on TPU (tools/probe_unique_parts.py)
+    _, dist, nn_src, found = jax.lax.sort(
+        (pq.s_qidx, dist_s, src_s, found_s), num_keys=1
+    )
     return dist, nn_src, found
