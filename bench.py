@@ -29,10 +29,20 @@ scope; 1.2e6 is the midpoint of the conservative end.  Treat vs_baseline with
 a +-30% error bar; the s/frame LiDAL scoring line is measured, not estimated.
 North star: >= 5x => vs_baseline >= 5.
 
+Backend watchdog: a wedged TPU tunnel hangs *inside* ``make_c_api_client`` —
+no in-process timeout can interrupt it (round-3 postmortem: the driver's whole
+bench run died rc=124 with nothing printed).  So the default backend is probed
+in a SUBPROCESS with a hard deadline first; if the probe dies or times out the
+bench falls back to CPU on tiny shapes and says so in the ``backend``/``note``
+fields — a small honest record beats an unparseable timeout.  A ``status``
+line is also emitted before any compile starts so even a mid-compile kill
+leaves the driver one parseable line.
+
 Env knobs: LIDAL_BENCH_B (batch, int >= 1, default 4); LIDAL_BENCH_DTYPE
 (``bfloat16`` to propagate bf16 activations between layers — opt-in lossy);
 LIDAL_BENCH_ONLY=mink (stop after section 1, for focused A/B runs);
-LIDAL_BENCH_BUDGET_S (section gate, seconds).
+LIDAL_BENCH_BUDGET_S (section gate, seconds); LIDAL_BENCH_PROBE_S (backend
+probe deadline, default 150 s, 0 disables the probe).
 """
 
 from __future__ import annotations
@@ -111,6 +121,44 @@ N_PTS = 120_000
 P_CAP = 131072
 CAPS = (131072, 49152, 16384, 6144, 2048)
 ITERS = 8
+
+
+def _probe_backend(deadline_s: float) -> str | None:
+    """Probe the default JAX backend in a subprocess with a hard deadline.
+
+    Returns the platform name (``"tpu"``/``"cpu"``/...) or None if the probe
+    crashed or hung past the deadline (e.g. a wedged axon tunnel, which hangs
+    uninterruptibly inside client bring-up).
+    """
+    import subprocess
+
+    code = (
+        "import jax, sys; d = jax.devices(); "
+        "import jax.numpy as jnp; jnp.ones(8).sum().block_until_ready(); "
+        "sys.stdout.write(d[0].platform)"
+    )
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=deadline_s,
+            capture_output=True,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if res.returncode != 0:
+        return None
+    plat = res.stdout.strip().splitlines()[-1] if res.stdout.strip() else ""
+    return plat or None
+
+
+def _cpu_fallback_shapes() -> None:
+    """Shrink the bench to CPU-compilable sizes (honest but tiny record)."""
+    global N_PTS, P_CAP, CAPS, ITERS
+    N_PTS = 6_000
+    P_CAP = 8192
+    CAPS = (8192, 4096, 2048, 1024, 512)
+    ITERS = 2
 
 
 def _frame_stack(rng, b: int):
@@ -380,23 +428,54 @@ def _bench_multidevice(rng, mink_variables):
 
 
 def main() -> None:
+    B = _env_int("LIDAL_BENCH_B", 4)
+    budget_s = _env_float("LIDAL_BENCH_BUDGET_S", 1200.0)
+
+    # ---- backend watchdog (BEFORE any in-process jax backend init) ----------
+    probe_s = _env_float("LIDAL_BENCH_PROBE_S", 150.0)
+    backend = _probe_backend(probe_s) if probe_s > 0 else "unprobed"
+    if backend is None:
+        # Wedged/unreachable accelerator: fall back to CPU in-process (must
+        # happen before the first backend use; env vars alone cannot switch
+        # backends here — sitecustomize re-pins them at interpreter start).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        _cpu_fallback_shapes()
+        backend = "cpu-fallback"
+
     from lidal_tpu.tpu_init import setup as _setup
 
     _setup()
 
-    B = _env_int("LIDAL_BENCH_B", 4)
-    budget_s = _env_float("LIDAL_BENCH_BUDGET_S", 1200.0)
     rng = np.random.default_rng(0)
     errors: list = []
     skipped: list = []
 
+    # One parseable line before any compile starts: a mid-compile kill then
+    # still leaves the driver a record (status flips to "ok" on completion).
+    _emit(
+        metric=METRIC_LABEL,
+        value=0.0,
+        unit="points/s",
+        vs_baseline=0.0,
+        status="startup",
+        backend=backend,
+        batch=B,
+    )
+    if backend == "cpu-fallback":
+        _emit(note=(
+            "accelerator probe failed or timed out; CPU fallback on tiny "
+            f"shapes (n={N_PTS}, iters={ITERS}) — values not comparable to "
+            "TPU rounds"
+        ))
+
     # ---- section 1: the headline (always attempted) -------------------------
     pts_per_sec, frame_arrays, mink_vars = _bench_mink(rng, B)
     _emit(
-        metric=METRIC_LABEL,
         value=round(pts_per_sec, 1),
-        unit="points/s",
         vs_baseline=round(pts_per_sec / REFERENCE_POINTS_PER_SEC, 3),
+        status="ok",
     )
     if os.environ.get("LIDAL_BENCH_ONLY") == "mink":  # focused A/B runs
         return
