@@ -107,29 +107,18 @@ def build_subm_nbr(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_down(coords_fine: jnp.ndarray, valid_fine: jnp.ndarray, cap_coarse: int):
-    """Build the coarse level (``unique(coords >> 1)``) and the down/up pairing.
-
-    The child table is built gather-only: in ``unique_voxels``' stable parent-key
-    sort the (<= 8, since fine coords are unique) children of each parent occupy
-    one contiguous group, so each group's fine ids come from ``starts``/``order``
-    gathers and land in their tap column via an 8x8 pdelta one-hot select — no
-    [cap_fine]-sized scatter (a scatter costs ~5x a sort of the same size on TPU;
-    see :func:`lidal_tpu.ops.voxelize.unique_voxels`).
-    """
+    """Build the coarse level (``unique(coords >> 1)``) and the down/up pairing."""
     cap_fine = coords_fine.shape[0]
     uvc = unique_voxels(coords_fine >> 1, valid_fine, cap_coarse)
     parent = uvc.inverse  # [cap_fine], sentinel cap_coarse
     low_bits = coords_fine & 1
     pdelta = (low_bits[:, 0] << 2) | (low_bits[:, 1] << 1) | low_bits[:, 2]
     pdelta = jnp.where(valid_fine, pdelta, 0).astype(jnp.int32)
-    taps = jnp.arange(K2, dtype=jnp.int32)
-    pos = uvc.starts[:cap_coarse, None] + taps[None, :]  # [cap_coarse, 8] sorted slots
-    in_group = taps[None, :] < jnp.minimum(uvc.counts, K2)[:, None]
-    fid = uvc.order[jnp.minimum(pos, cap_fine - 1)]  # fine ids of the group
-    pd = jnp.where(in_group, pdelta[fid], K2)  # K2 = unoccupied-slot marker
-    hit = pd[:, :, None] == taps[None, None, :]  # [cap_coarse, slot, tap]
-    child = jnp.where(hit, fid[:, :, None], 0).sum(axis=1)
-    child = jnp.where(hit.any(axis=1), child, cap_fine).astype(jnp.int32)
+    fine_ids = jnp.arange(cap_fine, dtype=jnp.int32)
+    child = jnp.full((cap_coarse + 1, K2), cap_fine, jnp.int32)
+    tgt_row = jnp.where(valid_fine, parent, cap_coarse)
+    child = child.at[tgt_row, pdelta].set(jnp.where(valid_fine, fine_ids, cap_fine))
+    child = child[:cap_coarse]
     down = DownPlan(child=child, parent=parent.astype(jnp.int32), pdelta=pdelta)
     return uvc, down
 

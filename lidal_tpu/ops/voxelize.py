@@ -39,12 +39,6 @@ class UniqueVoxels(NamedTuple):
       counts: [cap_out] int32 number of valid points per voxel.
       num_unique: [] int32 true unique count (may exceed ``cap_out``; overflow is
         dropped — monitor this).
-      order: [n_points] int32 sorted-position -> original input index (the stable
-        key-sort permutation); together with ``starts`` it exposes each voxel's
-        input rows as one contiguous gather-only group.
-      starts: [cap_out + 1] int32 sorted position where voxel g's group begins;
-        slots past ``num_unique`` are pinned to the valid count so adjacent
-        differences reproduce ``counts``.
     """
 
     coords: jnp.ndarray
@@ -55,8 +49,6 @@ class UniqueVoxels(NamedTuple):
     inverse: jnp.ndarray
     counts: jnp.ndarray
     num_unique: jnp.ndarray
-    order: jnp.ndarray
-    starts: jnp.ndarray
 
 
 def unique_voxels(coords: jnp.ndarray, valid: jnp.ndarray, cap_out: int) -> UniqueVoxels:
@@ -107,10 +99,7 @@ def unique_voxels(coords: jnp.ndarray, valid: jnp.ndarray, cap_out: int) -> Uniq
     pt_group = jnp.where(s_valid & in_cap, group, cap_out).astype(jnp.int32)
     inverse = lax.sort((s_idx, pt_group), num_keys=1)[1]
 
-    return UniqueVoxels(
-        out_coords, key_hi, key_lo, out_valid, first_src, inverse, counts, num_unique,
-        s_idx, starts,
-    )
+    return UniqueVoxels(out_coords, key_hi, key_lo, out_valid, first_src, inverse, counts, num_unique)
 
 
 def voxelize_mean(point_feats: jnp.ndarray, inverse: jnp.ndarray, counts: jnp.ndarray):
