@@ -94,16 +94,12 @@ def build_point_plan_frame(plan_levels, plan_downs) -> PointPlan:
         cur = parent_ext[jnp.minimum(cur, down.parent.shape[0])]
         ancs[l + 1] = cur
 
-    # Descendant counts compose down the child tree (counts_l[o] = sum over the
-    # 8 children's counts), so each level is an 8-tap gather-sum — no scatter.
-    cnt = jnp.where(valid0, 1, 0).astype(jnp.int32)
-    counts_by_level = {0: cnt}
-    for l, down in enumerate(plan_downs):
-        cnt = jnp.concatenate([cnt, jnp.zeros((1,), jnp.int32)])[down.child].sum(axis=1)
-        counts_by_level[l + 1] = cnt
-
     def avg_map(l):
-        return AvgMap(anc=ancs[l], counts=counts_by_level[l])
+        cap_l = plan_levels[l].coords.shape[0]
+        counts = (
+            jnp.zeros(cap_l, jnp.int32).at[ancs[l]].add(valid0.astype(jnp.int32), mode="drop")
+        )
+        return AvgMap(anc=ancs[l], counts=counts)
 
     tri2 = _build_tri(coords0, valid0, ancs[2], plan_levels[2].nbr3, 2)
     tri4 = _build_tri(coords0, valid0, ancs[4], plan_levels[4].nbr3, 4)
