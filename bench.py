@@ -361,7 +361,9 @@ def _bench_multidevice(rng, mink_variables):
         return model.apply(variables, feats, plan, train=False)
 
     n_warm = nd  # one frame per device compiles + fills each pipeline
-    n_timed = 4 * nd
+    # two dispatch blocks per device so the block pipeline (device computes
+    # block i+1 while the host pulls block i) is actually exercised
+    n_timed = 2 * cfg.frames_per_dispatch * nd
     frames = [synthetic_sk_frame(rng, N_PTS) for _ in range(max(n_warm, 2))]
 
     def read_fn(idx):

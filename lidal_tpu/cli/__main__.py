@@ -29,6 +29,9 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--metric_name", type=str, default="LiDAL")
     p.add_argument("--r_id", type=int, default=0)
     p.add_argument("--inf_reps", type=int, default=8)
+    p.add_argument("--frames_per_dispatch", type=int, default=4,
+                   help="frames computed per device dispatch in prob-inference "
+                        "(amortizes dispatch overhead; outputs are invariant)")
     p.add_argument("--reference_parity", action="store_true",
                    help="reproduce the reference's frame-level selections "
                         "verbatim, quirks included (see config.RunConfig)")

@@ -70,6 +70,13 @@ class RunConfig:
     # inf_reps <= view_chunk) and their softmax probabilities are summed —
     # the view MEAN is identical for any chunking.
     view_chunk: int = 4
+    # Frames computed per device dispatch inside multi-view inference: the
+    # per-frame graphs are chained with ``lax.map`` (sequential, so HBM holds
+    # one view chunk regardless), amortizing the host->device dispatch cost
+    # over F frames.  Dispatch is pure orchestration overhead — ~ms on a local
+    # TPU host, up to ~1 s through a tunneled backend — so larger blocks only
+    # help; outputs are per-frame and bitwise independent of the blocking.
+    frames_per_dispatch: int = 4
     seed: int = 7122  # reference train.py:23
     data_root: str = "Semantic_kitti/dataset/sequences"
     nu_root: str = "nuScenes"

@@ -110,6 +110,7 @@ def run_eval(
     c = data.num_classes
     conf_fn = make_eval_conf_fn(cfg, eval_step, n_devices)
     conf = jnp.zeros((c, c), jnp.int32)
+    ovfs: list = []
     rng = jax.random.PRNGKey(seed)
     start = time.time()
     for bi, batch in enumerate(loader):
@@ -124,12 +125,17 @@ def run_eval(
             jnp.asarray(batch["labels"]),
         )
         conf = conf + bconf
-        if int(ovf) or batch.get("trunc_points", 0):
+        # do NOT pull ovf here: a host sync per batch would serialize dispatch
+        # (the next batch can't be enqueued while this one drains); overflow
+        # warnings are reported after the loop instead.
+        ovfs.append((bi, ovf, batch.get("trunc_points", 0)))
+    conf_np = np.asarray(jax.device_get(conf))
+    for bi, ovf, trunc in ovfs:
+        if int(ovf) or trunc:
             print(
                 f"WARNING: capacity overflow (voxels {int(ovf)}, "
-                f"points {batch.get('trunc_points', 0)}) in eval batch {bi}"
+                f"points {trunc}) in eval batch {bi}"
             )
-    conf_np = np.asarray(jax.device_get(conf))
     if verbose:
         miou = print_iou(conf_np)
         print(time.time() - start)

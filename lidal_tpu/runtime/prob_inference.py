@@ -9,10 +9,12 @@ reduced entirely on device; only the final [P, C] arrays cross to host for savin
 Parallelism (the reference ran this stage on every GPU of the node,
 ``sk_dataloader.py:196-198`` + ``prob_inference.py:129-133``): the frame list
 splits contiguously across the local devices; one host thread per device runs a
-load -> dispatch -> collect pipeline with one frame of IO readahead, one frame
-of dispatch lookahead (the device computes frame i+1 while the host drains and
-saves frame i), and asynchronous npy writes.  Augmentation keys derive from the
-GLOBAL frame index, so outputs are identical for any device count.
+load -> dispatch -> collect pipeline over BLOCKS of ``cfg.frames_per_dispatch``
+frames (one device dispatch per block — dispatch is pure orchestration cost),
+with one block of IO readahead, one block of dispatch lookahead (the device
+computes block i+1 while the host drains and saves block i), and asynchronous
+npy writes.  Augmentation keys derive from the GLOBAL frame index, so outputs
+are identical for any device count and any blocking.
 """
 
 from __future__ import annotations
@@ -37,7 +39,9 @@ def wants_outfeat(cfg: RunConfig) -> bool:
     return cfg.r_id == 0 or cfg.metric_name in ("ReDAL", "CSET")
 
 
-def make_multiview_fn(cfg: RunConfig, eval_step: Callable, with_feat: Optional[bool] = None):
+def make_multiview_fn(
+    cfg: RunConfig, eval_step: Callable, with_feat: Optional[bool] = None, frames: int = 0
+):
     """Builds jitted (variables, keys [R], xyz [P,3], sig, valid) ->
     (prob_mean [P,C] f32, pred [P] i32, outfeat_mean [P,F] f32 | None).
 
@@ -49,7 +53,13 @@ def make_multiview_fn(cfg: RunConfig, eval_step: Callable, with_feat: Optional[b
     SemanticKITTI capacity in one fused graph exceed a v5e chip's HBM (probed:
     reps=4 fits, reps=8 aborts).  Each chunk's softmax probabilities/features
     are summed and the mean is taken over all views at the end — identical to
-    the reference's single mean over 8 views (prob_inference.py:107-118)."""
+    the reference's single mean over 8 views (prob_inference.py:107-118).
+
+    With ``frames >= 1`` every argument past ``variables`` gains a leading [F]
+    axis and the per-frame graph runs under an outer sequential ``lax.map`` —
+    ONE device dispatch computes F frames (see ``RunConfig.frames_per_dispatch``)
+    while HBM still holds a single view chunk at a time.  ``frames == 0``
+    (default) keeps the unbatched single-frame signature."""
     data = cfg.data
     reps = cfg.inf_reps
     if with_feat is None:
@@ -58,7 +68,6 @@ def make_multiview_fn(cfg: RunConfig, eval_step: Callable, with_feat: Optional[b
     while reps % chunk:
         chunk -= 1
 
-    @jax.jit
     def run(variables, keys, xyz, sig, valid):
         assert keys.shape[0] == reps, (keys.shape, reps)
         xyz_r = jnp.broadcast_to(xyz, (chunk,) + xyz.shape)
@@ -99,7 +108,17 @@ def make_multiview_fn(cfg: RunConfig, eval_step: Callable, with_feat: Optional[b
         pred = jnp.argmax(prob_mean, axis=-1).astype(jnp.int32)
         return prob_mean, pred, feat_mean
 
-    return run
+    if frames == 0:
+        return jax.jit(run)
+
+    @jax.jit
+    def run_block(variables, keys, xyz, sig, valid):
+        # [F]-leading args; frames are independent, so the sequential map
+        # computes exactly the per-frame graphs (XLA scheduling inside the
+        # loop body may differ from the standalone jit in the last ulp).
+        return jax.lax.map(lambda a: run(variables, *a), (keys, xyz, sig, valid))
+
+    return run_block
 
 
 def _device_chunks(n: int, d: int):
@@ -127,7 +146,8 @@ def run_prob_inference(
     data = cfg.data
     cap = point_cap or data.point_cap
     with_feat = wants_outfeat(cfg)
-    fn = make_multiview_fn(cfg, eval_step)
+    fd = max(1, cfg.frames_per_dispatch)
+    fn = make_multiview_fn(cfg, eval_step, frames=fd)
     base_key = jax.random.PRNGKey(cfg.seed)
     devices = list(devices) if devices is not None else jax.local_devices()
     results = {} if not save else None
@@ -142,30 +162,48 @@ def run_prob_inference(
         keys = jax.random.split(jax.random.fold_in(base_key, idx), cfg.inf_reps)
         return n, oxyz, osig, ovalid, keys
 
-    def emit(io, idx: int, n: int, out):
+    def load_block(blk):
+        """Load a block of frame indices; pad to ``fd`` by repeating the last
+        frame (pad outputs are dropped by :func:`emit_block`)."""
+        items = [load(idx) for idx in blk]
+        while len(items) < fd:
+            items.append(items[-1])
+        ns = [it[0] for it in items]
+        oxyz = np.stack([it[1] for it in items])
+        osig = np.stack([it[2] for it in items])
+        ovalid = np.stack([it[3] for it in items])
+        keys = jnp.stack([it[4] for it in items])
+        return ns, oxyz, osig, ovalid, keys
+
+    def emit_block(io, blk, ns, out):
         prob_j, pred_j, feat_j = out
-        prob = np.asarray(prob_j)[:n]
-        pred = np.asarray(pred_j)[:n]
-        feat_np = np.asarray(feat_j)[:n] if with_feat else None
-        seq, frame = frame_id_fn(files[idx])
-        if save:
-            def write(seq=seq, frame=frame, prob=prob, pred=pred, feat_np=feat_np):
-                np.save(os.path.join(ensure_dir(paths.prob_dir(seq)), f"{frame}.npy"), prob)
-                np.save(os.path.join(ensure_dir(paths.pred_dir(seq)), f"{frame}.npy"), pred)
-                if with_feat:
-                    np.save(
-                        os.path.join(ensure_dir(paths.outfeat_dir(seq)), f"{frame}.npy"),
-                        feat_np,
-                    )
-            io.submit(write)
-        else:
-            with res_lock:
-                results[(seq, frame)] = (prob, pred, feat_np)
-        if verbose:
-            print(f"Processing {seq}/{frame}")
+        prob_b = np.asarray(prob_j)  # [F, P, C]
+        pred_b = np.asarray(pred_j)
+        feat_b = np.asarray(feat_j) if with_feat else None
+        for j, idx in enumerate(blk):
+            n = ns[j]
+            prob = prob_b[j, :n]
+            pred = pred_b[j, :n]
+            feat_np = feat_b[j, :n] if with_feat else None
+            seq, frame = frame_id_fn(files[idx])
+            if save:
+                def write(seq=seq, frame=frame, prob=prob, pred=pred, feat_np=feat_np):
+                    np.save(os.path.join(ensure_dir(paths.prob_dir(seq)), f"{frame}.npy"), prob)
+                    np.save(os.path.join(ensure_dir(paths.pred_dir(seq)), f"{frame}.npy"), pred)
+                    if with_feat:
+                        np.save(
+                            os.path.join(ensure_dir(paths.outfeat_dir(seq)), f"{frame}.npy"),
+                            feat_np,
+                        )
+                io.submit(write)
+            else:
+                with res_lock:
+                    results[(seq, frame)] = (prob, pred, feat_np)
+            if verbose:
+                print(f"Processing {seq}/{frame}")
 
     def worker(di: int):
-        chunk = chunks[di]
+        chunk = list(chunks[di])
         if len(chunk) == 0:
             return
         dev = devices[di]
@@ -174,19 +212,20 @@ def run_prob_inference(
         def put(x):
             return jax.device_put(x, dev) if len(devices) > 1 else jnp.asarray(x)
 
+        blocks = [chunk[i : i + fd] for i in range(0, len(chunk), fd)]
         io = ThreadPoolExecutor(max_workers=2)
-        next_load = io.submit(load, chunk[0])
-        pending = None  # (idx, n, dispatched outputs)
-        for idx in chunk:
-            n, oxyz, osig, ovalid, keys = next_load.result()
-            if idx + 1 in chunk:
-                next_load = io.submit(load, idx + 1)
+        next_load = io.submit(load_block, blocks[0])
+        pending = None  # (blk, ns, dispatched outputs)
+        for bi, blk in enumerate(blocks):
+            ns, oxyz, osig, ovalid, keys = next_load.result()
+            if bi + 1 < len(blocks):
+                next_load = io.submit(load_block, blocks[bi + 1])
             out = fn(vars_d, put(keys), put(oxyz), put(osig), put(ovalid))
             if pending is not None:
-                emit(io, *pending)  # drains frame i-1 while frame i computes
-            pending = (idx, n, out)
+                emit_block(io, *pending)  # drains block i-1 while block i computes
+            pending = (blk, ns, out)
         if pending is not None:
-            emit(io, *pending)
+            emit_block(io, *pending)
         io.shutdown(wait=True)
 
     if len(devices) == 1:

@@ -234,11 +234,18 @@ def test_prob_inference_device_count_invariant(tmp_path):
     kw = dict(files=files, read_fn=read_fn, frame_id_fn=frame_id_fn, save=False)
     r1 = run_prob_inference(cfg, eval_step, variables, devices=jax.devices()[:1], **kw)
     r4 = run_prob_inference(cfg, eval_step, variables, devices=jax.devices()[:4], **kw)
-    assert set(r1) == set(r4) and len(r1) == 6
+    # unblocked dispatch (frames_per_dispatch=1): the lax.map frame blocking
+    # (default 4; 6 frames -> a padded tail block) must be bitwise neutral
+    rf1 = run_prob_inference(
+        dataclasses.replace(cfg, frames_per_dispatch=1),
+        eval_step, variables, devices=jax.devices()[:1], **kw,
+    )
+    assert set(r1) == set(r4) == set(rf1) and len(r1) == 6
     for k in r1:
-        np.testing.assert_array_equal(r1[k][0], r4[k][0])
-        np.testing.assert_array_equal(r1[k][1], r4[k][1])
-        np.testing.assert_array_equal(r1[k][2], r4[k][2])
+        for r in (r4, rf1):
+            np.testing.assert_array_equal(r1[k][0], r[k][0])
+            np.testing.assert_array_equal(r1[k][1], r[k][1])
+            np.testing.assert_array_equal(r1[k][2], r[k][2])
 
 
 def test_multiview_chunk_invariant(tmp_path):
