@@ -95,6 +95,13 @@ def make_eval_conf_fn(cfg: RunConfig, eval_step: Callable, n_devices: Optional[i
     return jax.jit(one)
 
 
+# Batches between deferred overflow-warning drains in run_eval: large enough
+# that the drained scalars belong to long-retired dispatches (no pipeline
+# stall), small enough that a long eval is never blind to overflow for more
+# than ~a minute of batches.
+_OVF_DRAIN = 64
+
+
 def run_eval(
     cfg: RunConfig,
     eval_step: Callable,  # (variables, feats, plan[, pplan]) -> (logits, feat96)
@@ -105,7 +112,14 @@ def run_eval(
     n_devices: Optional[int] = None,
 ) -> float:
     """Evaluate over a val loader; returns mean IoU.  Batches shard over all
-    local devices (size the loader's batch accordingly)."""
+    local devices (size the loader's batch accordingly).
+
+    Capacity-overflow warnings are DEFERRED: pulling the per-batch overflow
+    scalar immediately would host-sync every dispatch, so warnings drain in
+    windows of ``_OVF_DRAIN`` batches (the drained scalars are from already-
+    retired batches, so the pull is cheap) and the final partial window after
+    the loop — an in-flight run goes at most ``_OVF_DRAIN`` batches without
+    an overflow signal."""
     data = cfg.data
     c = data.num_classes
     conf_fn = make_eval_conf_fn(cfg, eval_step, n_devices)
@@ -113,6 +127,16 @@ def run_eval(
     ovfs: list = []
     rng = jax.random.PRNGKey(seed)
     start = time.time()
+
+    def drain_ovfs() -> None:
+        for bi, ovf, trunc in ovfs:
+            if int(ovf) or trunc:
+                print(
+                    f"WARNING: capacity overflow (voxels {int(ovf)}, "
+                    f"points {trunc}) in eval batch {bi}"
+                )
+        ovfs.clear()
+
     for bi, batch in enumerate(loader):
         rng, sub = jax.random.split(rng)
         keys = jax.random.split(sub, batch["xyz"].shape[0])
@@ -126,16 +150,14 @@ def run_eval(
         )
         conf = conf + bconf
         # do NOT pull ovf here: a host sync per batch would serialize dispatch
-        # (the next batch can't be enqueued while this one drains); overflow
-        # warnings are reported after the loop instead.
+        # (the next batch can't be enqueued while this one drains); stale
+        # entries drain in windows instead, bounding both the warning-blind
+        # stretch and the retained device scalars.
         ovfs.append((bi, ovf, batch.get("trunc_points", 0)))
+        if len(ovfs) >= _OVF_DRAIN:
+            drain_ovfs()
     conf_np = np.asarray(jax.device_get(conf))
-    for bi, ovf, trunc in ovfs:
-        if int(ovf) or trunc:
-            print(
-                f"WARNING: capacity overflow (voxels {int(ovf)}, "
-                f"points {trunc}) in eval batch {bi}"
-            )
+    drain_ovfs()
     if verbose:
         miou = print_iou(conf_np)
         print(time.time() - start)

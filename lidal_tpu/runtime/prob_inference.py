@@ -113,9 +113,11 @@ def make_multiview_fn(
 
     @jax.jit
     def run_block(variables, keys, xyz, sig, valid):
-        # [F]-leading args; frames are independent, so the sequential map
-        # computes exactly the per-frame graphs (XLA scheduling inside the
-        # loop body may differ from the standalone jit in the last ulp).
+        # [F]-leading args.  Every frames >= 1 path lowers the SAME traced
+        # per-frame body under lax.map, so outputs are bitwise invariant to
+        # the blocking (tests/test_parallel_drivers.py asserts fd=4 == fd=1).
+        # Only the frames == 0 standalone jit above compiles a differently
+        # scheduled graph and may differ in the last ulp.
         return jax.lax.map(lambda a: run(variables, *a), (keys, xyz, sig, valid))
 
     return run_block
@@ -164,7 +166,13 @@ def run_prob_inference(
 
     def load_block(blk):
         """Load a block of frame indices; pad to ``fd`` by repeating the last
-        frame (pad outputs are dropped by :func:`emit_block`)."""
+        frame (pad outputs are dropped by :func:`emit_block`).
+
+        The pad slots DO run full multi-view forwards whose outputs are
+        discarded — up to ``fd - 1`` wasted frame-computes, but only on the
+        single final partial block of each device's chunk (amortized to ~0
+        over a real train-split run; compiling a second residual-size block
+        graph is not worth it for that tail)."""
         items = [load(idx) for idx in blk]
         while len(items) < fd:
             items.append(items[-1])
