@@ -101,7 +101,16 @@ class FrameBatchLoader:
         stop = threading.Event()
 
         def producer():
-            with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            # A producer failure (unreadable frame, bad read_fn) must surface
+            # in the consumer — a died thread would otherwise leave __iter__
+            # blocked on the queue forever.
+            try:
+                _produce()
+            except BaseException as e:  # noqa: BLE001 — re-raised by consumer
+                out_q.put(e)
+
+        def _produce():
+            with cf.ThreadPoolExecutor(max(1, self.num_workers)) as pool:
                 for bfiles in batches:
                     if stop.is_set():
                         return
@@ -139,6 +148,8 @@ class FrameBatchLoader:
                 item = out_q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

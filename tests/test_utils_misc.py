@@ -5,6 +5,7 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lidal_tpu.data.loader import FrameBatchLoader
 from lidal_tpu.parallel.mesh import process_shard, sync_hosts
@@ -90,6 +91,26 @@ def test_loader_epoch_shuffle_and_sharding():
     last = list(lb)[-1]
     assert last["n_frames"] == 1 and last["xyz"].shape == (3, 8, 3)
     assert not last["valid"][1:].any()
+
+
+def test_loader_read_failure_raises_not_hangs():
+    """A read_fn failure dies on the producer thread; it must RAISE in the
+    consuming iterator, not leave it blocked on the queue forever (regression:
+    the producer exception was swallowed and __iter__ hung)."""
+
+    def bad_read(f):
+        raise OSError(f"corrupt frame {f}")
+
+    loader = FrameBatchLoader(["a", "b"], bad_read, point_cap=8, batch_size=2)
+    with pytest.raises(OSError, match="corrupt frame"):
+        list(loader)
+
+    # num_workers=0 (synchronous intent) must not kill the producer either
+    def read(f):
+        return np.zeros((4, 3), np.float32), np.zeros(4, np.float32), np.zeros(4, np.int32)
+
+    l0 = FrameBatchLoader(["a", "b"], read, point_cap=8, batch_size=2, num_workers=0)
+    assert len(list(l0)) == 1
 
 
 def test_process_shard_and_sync_single_host():
