@@ -11,8 +11,10 @@ is measured, so a timeout anywhere still leaves the driver a parseable record
 2. LiDAL inter-frame scoring, steady-state s/frame (ring runner pattern).
 3. SPVCNN e2e inference (BASELINE config 2).
 4. Multi-device aggregate: the PRODUCTION drivers (`run_prob_inference` +
-   `run_lidal_round`) over all ``jax.local_devices()`` — aggregate points/s
-   and scoring frames/s (scales with chip count; 1 on this rig).
+   `run_lidal_round`, plus the FUSED single-pass round
+   `run_fused_lidal_round` that computes both stages per frame without the
+   prob-map host round trip) over all ``jax.local_devices()`` — aggregate
+   points/s and scoring frames/s (scales with chip count; 1 on this rig).
 
 A wall-clock budget (``LIDAL_BENCH_BUDGET_S``, default 1200 s) gates each
 section: when the budget runs short the remaining sections are SKIPPED (listed
@@ -59,6 +61,7 @@ METRIC_LABEL = "points/sec MinkUNet inference (SemanticKITTI); LiDAL scoring fra
 
 _T0 = time.monotonic()
 _RECORD: dict = {}
+_BUDGET_S = 1200.0  # set from LIDAL_BENCH_BUDGET_S in main()
 
 
 def _emit(**fields) -> None:
@@ -352,6 +355,9 @@ def _bench_multidevice(rng, mink_variables):
 
     cfg = RunConfig(metric_name="LiDAL", label_unit="sv", r_id=1, inf_reps=8)
 
+    # Each sub-measurement emits IMMEDIATELY (same crash-safety contract as
+    # the top-level sections: a timeout mid-(c) must not lose (a) and (b)).
+
     # ---- (a) run_prob_inference: aggregate multi-view inference points/s ----
     from lidal_tpu.models import MinkUNet
 
@@ -386,6 +392,8 @@ def _bench_multidevice(rng, mink_variables):
     out["prob_inference_frames_per_sec"] = round(n_timed / dt, 3)
     # each of the 8 views is a full e2e forward of the frame
     out["aggregate_points_per_sec"] = round(n_timed * N_PTS * cfg.inf_reps / dt, 1)
+    _emit(**out)
+    out = {}
 
     # ---- (b) run_lidal_round: aggregate scoring frames/s -------------------
     from lidal_tpu.active.lidal_runner import run_lidal_round
@@ -426,12 +434,46 @@ def _bench_multidevice(rng, mink_variables):
         dt = time.perf_counter() - t0
         assert res.sv_flags.shape == (n_frames * n_sv,)
         out["lidal_round_frames_per_sec"] = round(n_frames / dt, 3)
+        _emit(**out)
+        out = {}
+
+        # ---- (c) FUSED single-pass round: inference feeds scoring on device,
+        # replacing (a)+(b)'s per-frame prob-map download + npy + re-upload.
+        # Each frame here pays the full 8-view inference AND the scoring, so
+        # compare fused_round_frames_per_sec against the SERIAL combination
+        # 1 / (1/prob_inference_fps + 1/lidal_round_fps).
+        from lidal_tpu.active.lidal_runner import run_fused_lidal_round
+
+        if _remaining(_BUDGET_S) < 240.0:
+            out["skipped_fused"] = True
+            return out
+
+        def read_raw(s, name):
+            x, sg = frames[int(name) % len(frames)]
+            return x, sg
+
+        frame_index = {(seq, f"{fi:06d}"): fi for fi in range(n_frames)}
+        best = None
+        for rep in range(2):  # first run pays the frames=1 graph compile
+            t0 = time.perf_counter()
+            resf = run_fused_lidal_round(
+                lcfg, eval_step, mink_variables, read_raw, train_split=(seq,),
+                devices=devices, save_prob=False, frame_index=frame_index,
+            )
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            assert resf.sv_flags.shape == (n_frames * n_sv,)
+            # emit after EVERY rep: the cold number survives a timeout mid-warm
+            _emit(fused_round_frames_per_sec=round(n_frames / best, 3),
+                  fused_round_rep=rep)
     return out
 
 
 def main() -> None:
+    global _BUDGET_S
     B = _env_int("LIDAL_BENCH_B", 4)
     budget_s = _env_float("LIDAL_BENCH_BUDGET_S", 1200.0)
+    _BUDGET_S = budget_s
 
     # ---- backend watchdog (BEFORE any in-process jax backend init) ----------
     probe_s = _env_float("LIDAL_BENCH_PROBE_S", 150.0)

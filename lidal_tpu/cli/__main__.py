@@ -31,10 +31,18 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--inf_reps", type=int, default=8)
     p.add_argument("--frames_per_dispatch", type=int, default=4,
                    help="frames computed per device dispatch in prob-inference "
-                        "(amortizes dispatch overhead; outputs are invariant)")
+                        "(amortizes dispatch overhead; outputs are invariant; "
+                        "output staging holds 2 blocks of [F,P,C] prob + "
+                        "optional [F,P,96] outfeat in HBM, so large values "
+                        "can exhaust device memory)")
     p.add_argument("--reference_parity", action="store_true",
                    help="reproduce the reference's frame-level selections "
                         "verbatim, quirks included (see config.RunConfig)")
+    p.add_argument("--no_fused_round", dest="fused_round", action="store_false",
+                   default=True,
+                   help="force the staged inference-then-score flow in "
+                        "run-experiment instead of the fused single-pass "
+                        "LiDAL rounds (outputs are bitwise identical)")
     p.add_argument("--max_iter", type=int, default=20000)
     p.add_argument("--data_root", type=str, default="Semantic_kitti/dataset/sequences")
     p.add_argument("--processing_root", type=str, default="Processing_files")
@@ -72,7 +80,7 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="lidal_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 
-    for name in ("train", "evaluate", "prob-inference", "score"):
+    for name in ("train", "evaluate", "prob-inference", "score", "fused-score"):
         p = sub.add_parser(name)
         _add_run_args(p)
     p = sub.add_parser("prep")
@@ -111,6 +119,10 @@ def main(argv=None) -> int:
         from lidal_tpu.cli.commands import score_command
 
         score_command(cfg)
+    elif args.command == "fused-score":
+        from lidal_tpu.cli.commands import fused_score_command
+
+        fused_score_command(cfg)
     elif args.command == "prep":
         from lidal_tpu.cli.commands import prep_command
 

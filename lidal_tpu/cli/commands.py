@@ -111,6 +111,31 @@ def prob_inference_command(cfg: RunConfig) -> None:
     )
 
 
+def fused_score_command(cfg: RunConfig) -> None:
+    """Fused inference + LiDAL scoring round (``cfg.r_id`` >= 1): one streaming
+    pass computes the previous round's multi-view prob maps on device and
+    scores them without the npy round trip (same artifacts, bitwise-same
+    selections as ``prob_inference_command`` + ``score_command``)."""
+    from lidal_tpu.active.lidal_runner import _prev_cfg, run_fused_lidal_round
+
+    inf_cfg = _prev_cfg(cfg)
+    model, variables, eval_step = _load_eval_variables(inf_cfg)
+    # enumeration order == run_prob_inference's files order (augmentation keys
+    # derive from the global index)
+    files, read_fn, frame_id_fn = _dataset_frames(cfg, "train")
+    frame_index = {frame_id_fn(p): i for i, p in enumerate(files)}
+    by_id = {frame_id_fn(p): p for p in files}
+
+    def read_raw(seq: str, name: str):
+        xyz, sig, _ = read_fn(by_id[(seq, name)], with_labels=False)
+        return xyz, sig
+
+    run_fused_lidal_round(
+        cfg, jax.jit(eval_step), variables, read_raw,
+        frame_index=frame_index, verbose=True,
+    )
+
+
 def score_command(cfg: RunConfig) -> None:
     m = cfg.metric_name
     if m.startswith("LiDAL"):

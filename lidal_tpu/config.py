@@ -72,10 +72,15 @@ class RunConfig:
     view_chunk: int = 4
     # Frames computed per device dispatch inside multi-view inference: the
     # per-frame graphs are chained with ``lax.map`` (sequential, so HBM holds
-    # one view chunk regardless), amortizing the host->device dispatch cost
-    # over F frames.  Dispatch is pure orchestration overhead — ~ms on a local
-    # TPU host, up to ~1 s through a tunneled backend — so larger blocks only
-    # help; outputs are per-frame and bitwise independent of the blocking.
+    # one view chunk of FORWARD state regardless), amortizing the host->device
+    # dispatch cost over F frames.  Dispatch is pure orchestration overhead —
+    # ~ms on a local TPU host, up to ~1 s through a tunneled backend.  Larger
+    # blocks cut dispatches, but the OUTPUT staging scales linearly with F:
+    # with the one-block pipeline lookahead, two blocks of [F, P, C] prob
+    # (+ [F, P, 96] outfeat when requested) are live at once — ~0.5 GB at
+    # F=4 / SemanticKITTI capacity with outfeat — so very large values trade
+    # HBM headroom for dispatch count.  Outputs are per-frame and bitwise
+    # independent of the blocking.
     frames_per_dispatch: int = 4
     seed: int = 7122  # reference train.py:23
     data_root: str = "Semantic_kitti/dataset/sequences"
@@ -90,6 +95,14 @@ class RunConfig:
     # default = intended-semantics scoring (index-aligned scores).  RAND's
     # with-replacement draw and CSET are identical in both modes.
     reference_parity: bool = False
+    # Fused single-pass active rounds (LiDAL, r >= 1): multi-view inference
+    # feeds the scoring ring on device instead of round-tripping every frame's
+    # ~10 MB prob map through npy files (active/lidal_runner.py:
+    # run_fused_lidal_round).  Prob maps, scores, and selections are bitwise
+    # identical to the staged pipeline, and the prob/pred npy artifacts are
+    # still written (async).  Disable to force the reference's staged
+    # inference-then-score flow in run_experiment.
+    fused_round: bool = True
     # Override the dataset constants (capacities, splits, ...) — e.g. for tests
     # or differently-sized deployments.
     data_override: Optional[DataConfig] = None

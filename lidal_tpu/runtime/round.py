@@ -56,11 +56,22 @@ def run_active_round(
         log(f"[round {r_id}] evaluating")
         out["miou"] = evaluate_command(tc)
 
+    sc = dataclasses.replace(cfg, r_id=r_id + 1)
+    # Fused single-pass rounds (LiDAL, r >= 1): inference feeds scoring on
+    # device — no prob-map npy round trip on the critical path; same
+    # artifacts, bitwise-same selections.  Round 0 stays staged (its dump
+    # also provides the outfeat npys of the reference's r0 contract).
+    if cfg.fused_round and cfg.metric_name.startswith("LiDAL") and r_id >= 1:
+        from lidal_tpu.cli.commands import fused_score_command
+
+        log(f"[round {r_id}] fused inference + scoring for round {r_id + 1}")
+        fused_score_command(sc)
+        return out
+
     ic = inference_cfg_for_round(cfg, r_id)
     log(f"[round {r_id}] multi-view prob inference")
     prob_inference_command(ic)
 
-    sc = dataclasses.replace(cfg, r_id=r_id + 1)
     log(f"[round {r_id}] scoring + selection for round {r_id + 1}")
     score_command(sc)
     return out

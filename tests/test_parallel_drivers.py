@@ -285,3 +285,115 @@ def test_multiview_chunk_invariant(tmp_path):
     assert feat_nf is None
     np.testing.assert_allclose(np.asarray(prob_nf), outs[2][0], atol=1e-6)
     np.testing.assert_array_equal(np.asarray(pred_nf), outs[2][1])
+
+
+def test_fused_round_matches_staged(tmp_path):
+    """The FUSED single-pass round (inference feeds the scoring ring on
+    device, ``active/lidal_runner.run_fused_lidal_round``) must be bitwise
+    identical to the staged reference pipeline (``run_prob_inference`` writing
+    prob npys, then ``run_lidal_round`` reading them) — selections, flags, AND
+    the prob/pred npy artifacts — for any device count."""
+    from lidal_tpu.active.lidal_runner import run_fused_lidal_round, run_lidal_round
+    from lidal_tpu.data.selection import save_sv_info
+    from lidal_tpu.runtime.paths import Paths, ensure_dir
+    from lidal_tpu.runtime.prob_inference import run_prob_inference
+    from lidal_tpu.runtime.train import make_optimizer
+
+    from lidal_tpu.data.pipeline import prepare_train_batch
+    from lidal_tpu.runtime.train_loop import build_model
+
+    n_frames, n_sv, seq = 6, 4, "00"
+    rng = np.random.default_rng(11)
+    names = [f"{i:06d}" for i in range(n_frames)]
+    frames = {}
+    for i in range(n_frames):
+        n = int(P * 0.8)
+        r = rng.uniform(2, 30, n)
+        th = rng.uniform(0, 2 * np.pi, n)
+        xyz = np.stack(
+            [r * np.cos(th), r * np.sin(th), 0.1 * rng.standard_normal(n)], 1
+        ).astype(np.float32)
+        frames[names[i]] = (xyz, rng.random(n).astype(np.float32))
+
+    def build_tree(root):
+        """r_id=2 scoring tree: r1 flags + grids + sv info (no prob npys)."""
+        cfg2 = dataclasses.replace(
+            _cfg(root), metric_name="LiDAL", label_unit="sv", r_id=2,
+            inf_reps=2, view_chunk=2,
+        )
+        paths = Paths(cfg2)
+        p1 = Paths(dataclasses.replace(cfg2, r_id=1))
+        grid_dir = ensure_dir(paths.grid_dir(seq))
+        svi_dir = ensure_dir(paths.supervoxel_dir(seq, "KMeans"))
+        svf_dir = ensure_dir(p1.sv_flag_dir(seq))
+        gid = 0
+        for i, name in enumerate(names):
+            xyz = frames[name][0]
+            # "registered" coords: raw + per-frame drift (any consistent map works)
+            np.savez_compressed(
+                os.path.join(grid_dir, f"{name}.npz"),
+                xyz=xyz + np.array([0.3 * i, 0, 0], np.float32),
+            )
+            point2sv = (np.arange(len(xyz), dtype=np.int32) * n_sv) // len(xyz)
+            save_sv_info(
+                os.path.join(svi_dir, f"{name}.npz"),
+                point2sv,
+                np.arange(gid, gid + n_sv, dtype=np.int64),
+            )
+            gid += n_sv
+            np.save(
+                os.path.join(svf_dir, f"{name}.npy"),
+                np.full(n_sv, 1 if i == 0 else 0, np.int32),
+            )
+        return cfg2
+
+    cfg0 = build_tree(tmp_path / "staged")
+    model = build_model(cfg0)
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)
+    xyz0, sig0, valid0, labels0 = _points(1, seed=1)
+    tb = prepare_train_batch(keys, xyz0, sig0, valid0, labels0, level_caps=CAPS)
+    state = init_state(model, jax.random.PRNGKey(1), tb, make_optimizer())
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    eval_step = make_eval_step(model, with_points=False)
+    budget_pts = n_frames * P * 40
+
+    def read_raw(s, name):
+        return frames[name]
+
+    frame_index = {(seq, n): i for i, n in enumerate(names)}
+
+    # ---- staged: prob_inference (fd=4 blocks) then run_lidal_round ----------
+    inf_cfg = dataclasses.replace(cfg0, r_id=1)
+    run_prob_inference(
+        inf_cfg, eval_step, variables, names,
+        read_fn=lambda name: frames[name] + (None,),
+        frame_id_fn=lambda name: (seq, name),
+        save=True, devices=jax.devices()[:1],
+    )
+    res_staged = run_lidal_round(
+        cfg0, train_split=(seq,), train_point_num=budget_pts, devices=jax.devices()[:1]
+    )
+
+    # ---- fused single-pass round, 1 device then 2 ---------------------------
+    for nd in (1, 2):
+        cfgf = build_tree(tmp_path / f"fused{nd}")
+        res_fused = run_fused_lidal_round(
+            cfgf, eval_step, variables, read_raw, train_split=(seq,),
+            train_point_num=budget_pts, devices=jax.devices()[:nd],
+            frame_index=frame_index,
+        )
+        np.testing.assert_array_equal(res_staged.sv_flags, res_fused.sv_flags)
+        np.testing.assert_array_equal(res_staged.al_added, res_fused.al_added)
+        np.testing.assert_array_equal(res_staged.sl_added, res_fused.sl_added)
+        # prob/pred npy artifacts must match the staged dumps bitwise
+        p1s = Paths(dataclasses.replace(cfg0, r_id=1))
+        p1f = Paths(dataclasses.replace(cfgf, r_id=1))
+        for name in names:
+            for d_s, d_f in (
+                (p1s.prob_dir(seq), p1f.prob_dir(seq)),
+                (p1s.pred_dir(seq), p1f.pred_dir(seq)),
+            ):
+                a = np.load(os.path.join(d_s, f"{name}.npy"))
+                b = np.load(os.path.join(d_f, f"{name}.npy"))
+                np.testing.assert_array_equal(a, b)
+    assert len(res_staged.al_added) > 0
