@@ -10,7 +10,8 @@ is measured, so a timeout anywhere still leaves the driver a parseable record
    kernel maps per batch).
 2. LiDAL inter-frame scoring, steady-state s/frame (ring runner pattern).
 3. SPVCNN e2e inference (BASELINE config 2).
-4. Multi-device aggregate: the PRODUCTION drivers (`run_prob_inference` +
+4. Training-step throughput (fwd + combined dX/dW Pallas backward + Adam).
+5. Multi-device aggregate: the PRODUCTION drivers (`run_prob_inference` +
    `run_lidal_round`, plus the FUSED single-pass round
    `run_fused_lidal_round` that computes both stages per frame without the
    prob-map host round trip) over all ``jax.local_devices()`` — aggregate
@@ -332,6 +333,53 @@ def _bench_spvcnn(rng, B: int, frame_arrays):
     return B * N_PTS * ITERS / (time.perf_counter() - t0)
 
 
+def _bench_train(rng, B: int):
+    """Section 5: training-step throughput (MinkUNet forward + combined dX/dW
+    Pallas backward + Adam, prebuilt batch — the per-iteration cost of the
+    reference's 20k-step rounds).  4 chained steps under one on-device scan."""
+    import jax
+    import jax.numpy as jnp
+
+    from lidal_tpu.data.pipeline import prepare_train_batch
+    from lidal_tpu.models import MinkUNet
+    from lidal_tpu.runtime.train import init_state, make_optimizer, make_train_step
+
+    xyz = np.zeros((B, P_CAP, 3), np.float32)
+    sig = np.zeros((B, P_CAP), np.float32)
+    valid = np.zeros((B, P_CAP), bool)
+    labels = np.full((B, P_CAP), 255, np.int32)
+    for i in range(B):
+        x, s = synthetic_sk_frame(rng, N_PTS)
+        xyz[i, :N_PTS], sig[i, :N_PTS], valid[i, :N_PTS] = x, s, True
+        labels[i, :N_PTS] = rng.integers(0, 19, N_PTS)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    tb = prepare_train_batch(
+        keys, jnp.asarray(xyz), jnp.asarray(sig), jnp.asarray(valid),
+        jnp.asarray(labels), level_caps=CAPS,
+    )
+    model = MinkUNet(num_classes=19)
+    tx = make_optimizer()
+    state = init_state(model, jax.random.PRNGKey(1), tb, tx)
+    step = make_train_step(model, tx, with_points=False)
+    n_steps = 4
+
+    @jax.jit
+    def run_steps(state, seed):
+        def body(s, i):
+            s2, loss = step(s, tb, jax.random.fold_in(seed, i))
+            return s2, loss
+
+        s, losses = jax.lax.scan(body, state, jnp.arange(n_steps))
+        return losses.sum()
+
+    float(run_steps(state, jax.random.PRNGKey(2)))  # compile + drain
+    t0 = time.perf_counter()
+    loss = float(run_steps(state, jax.random.PRNGKey(3)))
+    assert loss == loss
+    dt = time.perf_counter() - t0
+    return {"train_points_per_sec": round(B * N_PTS * n_steps / dt, 1)}
+
+
 def _bench_multidevice(rng, mink_variables):
     """Section 4: PRODUCTION drivers over all local devices.
 
@@ -525,10 +573,14 @@ def main() -> None:
         return
 
     # ---- remaining sections: budget-gated, exception-isolated ---------------
+    # train runs LAST: its backward-kernel compile is the most expensive in
+    # the suite on a cold remote cache, and an overrun there must not cost
+    # the multidevice/fused lines (every section emits incrementally anyway).
     sections = (
         ("lidal_scoring", 240.0, lambda: _ring_fields(rng, B)),
         ("spvcnn", 180.0, lambda: {"spvcnn_points_per_sec": round(_bench_spvcnn(rng, B, frame_arrays), 1)}),
         ("multidevice", 300.0, lambda: _bench_multidevice(rng, mink_vars)),
+        ("train", 300.0, lambda: _bench_train(rng, B)),
     )
     for name, est_s, fn in sections:
         if _remaining(budget_s) < est_s:
