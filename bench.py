@@ -45,7 +45,9 @@ Env knobs: LIDAL_BENCH_B (batch, int >= 1, default 4); LIDAL_BENCH_DTYPE
 (``bfloat16`` to propagate bf16 activations between layers — opt-in lossy);
 LIDAL_BENCH_ONLY=mink (stop after section 1, for focused A/B runs);
 LIDAL_BENCH_BUDGET_S (section gate, seconds); LIDAL_BENCH_PROBE_S (backend
-probe deadline, default 150 s, 0 disables the probe).
+probe deadline, default 150 s, 0 disables the probe);
+LIDAL_BENCH_PROBE_TRIES (probe attempts before the CPU fallback, default 2 —
+tunnel wedges are often transient).
 """
 
 from __future__ import annotations
@@ -525,7 +527,22 @@ def main() -> None:
 
     # ---- backend watchdog (BEFORE any in-process jax backend init) ----------
     probe_s = _env_float("LIDAL_BENCH_PROBE_S", 150.0)
-    backend = _probe_backend(probe_s) if probe_s > 0 else "unprobed"
+    tries = _env_int("LIDAL_BENCH_PROBE_TRIES", 2)
+    backend = None
+    if probe_s > 0:
+        # Retry hung probes: tunnel wedges are often transient (a remote
+        # compile queue drains) and a recovered TPU record is worth a couple
+        # of probe windows out of the budget.
+        for attempt in range(tries):
+            backend = _probe_backend(probe_s)
+            if backend is not None:
+                break
+            if attempt + 1 < tries and _remaining(budget_s) > probe_s + 120.0:
+                time.sleep(30.0)
+            else:
+                break
+    else:
+        backend = "unprobed"
     if backend is None:
         # Wedged/unreachable accelerator: fall back to CPU in-process (must
         # happen before the first backend use; env vars alone cannot switch

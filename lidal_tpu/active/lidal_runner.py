@@ -470,6 +470,9 @@ def run_fused_lidal_round(
             put = ring._put
             io = ThreadPoolExecutor(max_workers=1)
             wr = ThreadPoolExecutor(max_workers=1)
+            wr_futures: List = []  # checked at the end: a failed artifact
+            # write (disk full, bad path) must fail the round, same as the
+            # staged pipeline's writer-failure propagation
 
             def save_frame(name: str, n_raw: int, prob_j, pred_j):
                 np.save(os.path.join(prob_dir, f"{name}.npy"), np.asarray(prob_j)[:n_raw])
@@ -496,7 +499,7 @@ def run_fused_lidal_round(
                 )
                 prob_j, pred_j = prob_b[0], pred_b[0]
                 if save_prob and ni in own:
-                    wr.submit(save_frame, name, len(xyz_raw), prob_j, pred_j)
+                    wr_futures.append(wr.submit(save_frame, name, len(xyz_raw), prob_j, pred_j))
                 gxyz = load_grid_points(os.path.join(grid_dir, f"{name}.npz")).astype(
                     np.float32
                 )
@@ -523,6 +526,8 @@ def run_fused_lidal_round(
                 aggregate(*pending)
             io.shutdown(wait=True)
             wr.shutdown(wait=True)
+            for f in wr_futures:
+                f.result()  # surface any artifact-write failure
 
         _run_workers(len(devices), worker)
 

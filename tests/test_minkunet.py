@@ -72,6 +72,8 @@ def test_minkunet_train_updates_batch_stats_and_grads_flow():
     assert moved
 
 
+@pytest.mark.slow  # model-sized CPU compile (~3 min); redundant with the
+# sharded bit-equality assertions in test_parallel_drivers for fast runs
 def test_minkunet_eval_deterministic():
     rng = np.random.default_rng(2)
     plan, feats = _batch(rng, b=1, n=200)

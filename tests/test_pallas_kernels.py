@@ -746,3 +746,114 @@ def test_spvcnn_point_ops_batched_match_per_frame(pallas_gather8_on):
     got = point_to_voxel_avg_batched(pf, eb.plan.downs, eb.pplan.avg4, levels=4)
     want = map_frames(point_to_voxel_avg, pf, eb.pplan.avg4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-2, atol=1e-2)
+
+
+# --------------------------------------------------------------------------------------
+# scatter8_pallas: transposed banded weighted gather-sum (gather8's backward)
+# --------------------------------------------------------------------------------------
+
+
+def _scatter8_oracle(dy, nbr, w8, n):
+    out = np.zeros((n, dy.shape[1]), np.float64)
+    m, k = nbr.shape
+    for i in range(m):
+        for j in range(k):
+            t = nbr[i, j]
+            if t < n:
+                out[t] += w8[i, j] * dy[i]
+    return out.astype(np.float32)
+
+
+def test_transpose_band_bounds_cover_all_positions():
+    """Property: every (position, tap) with a real target lies inside the
+    covering band of that target's output tile."""
+    from lidal_tpu.ops.pallas_gather8 import TILE_M, TILE_N, transpose_band_bounds
+
+    rng = np.random.default_rng(3)
+    n, m = 1024, 1536
+    for density in (1.0, 0.6, 0.05, 0.0):
+        nbr = _sorted_nbr(rng, m, 8, n, density)
+        # shuffle a few rows to exercise the near-sorted (not sorted) contract
+        if density > 0:
+            sw = rng.choice(m - 1, size=8, replace=False)
+            nbr[sw], nbr[sw + 1] = nbr[sw + 1].copy(), nbr[sw].copy()
+        lo, nb = (np.asarray(a) for a in transpose_band_bounds(jnp.asarray(nbr), n))
+        for j in range(8):
+            for i in range(m):
+                t = nbr[i, j]
+                if t >= n:
+                    continue
+                tile = t // TILE_M
+                blk = i // TILE_N
+                assert lo[j, tile] <= blk < lo[j, tile] + nb[j, tile], (j, i, t)
+
+
+@pytest.mark.parametrize(
+    "seed,n,m,c,density",
+    [
+        (0, 256, 256, 32, 0.9),
+        (1, 512, 256, 96, 0.5),
+        (2, 256, 512, 128, 1.0),  # m > n (tri maps: many points per voxel)
+        (3, 256, 256, 8, 0.0),  # all-sentinel: exact zeros
+        (4, 1024, 512, 64, 0.7),
+        (5, 256, 1024, 16, 0.3),
+    ],
+)
+def test_scatter8_matches_oracle(seed, n, m, c, density):
+    from lidal_tpu.ops.pallas_gather8 import scatter8_pallas
+
+    rng = np.random.default_rng(seed)
+    dy = _int_feats(rng, m, c)
+    nbr = _sorted_nbr(rng, m, 8, n, density)
+    w8 = rng.integers(0, 5, size=(m, 8)).astype(np.float32) / 4.0  # bf16-exact
+    got = np.asarray(
+        scatter8_pallas(jnp.asarray(dy), jnp.asarray(nbr), jnp.asarray(w8), n, interpret=True)
+    )
+    want = _scatter8_oracle(dy, nbr, w8, n)
+    np.testing.assert_array_equal(got, want)  # integer data: exact
+
+
+def test_scatter8_float_close():
+    from lidal_tpu.ops.pallas_gather8 import scatter8_pallas
+
+    rng = np.random.default_rng(7)
+    n, m, c = 512, 512, 96
+    dy = rng.standard_normal((m, c)).astype(np.float32)
+    nbr = _sorted_nbr(rng, m, 8, n, 0.8)
+    w8 = rng.random((m, 8)).astype(np.float32)
+    got = np.asarray(
+        scatter8_pallas(jnp.asarray(dy), jnp.asarray(nbr), jnp.asarray(w8), n, interpret=True)
+    )
+    # oracle on bf16-rounded dy AND weights — the kernel's staging contract
+    dyb = np.asarray(jnp.asarray(dy).astype(jnp.bfloat16)).astype(np.float32)
+    w8b = np.asarray(jnp.asarray(w8).astype(jnp.bfloat16)).astype(np.float32)
+    want = _scatter8_oracle(dyb, nbr, w8b, n)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_gather8_grad_via_scatter_kernel_matches_xla(monkeypatch):
+    """gather8's custom VJP with the Pallas transposed kernel enabled equals
+    the XLA scatter-add backward (bf16-exact data: bitwise)."""
+    import lidal_tpu.ops.pallas_gather8 as pg8
+
+    rng = np.random.default_rng(9)
+    n, m, c = 256, 512, 32
+    feats = jnp.asarray(_int_feats(rng, n, c))
+    nbr = jnp.asarray(_sorted_nbr(rng, m, 8, n, 0.8))
+    w8 = jnp.asarray((rng.integers(0, 5, size=(m, 8)) / 4.0).astype(np.float32))
+    cot = jnp.asarray(_int_feats(rng, m, c))
+
+    def loss(f):
+        return (pg8.gather8(f, nbr, w8) * cot).sum()
+
+    monkeypatch.setattr(
+        pg8, "gather8_pallas", functools.partial(pg8.gather8_pallas, interpret=True)
+    )
+    monkeypatch.setattr(
+        pg8, "scatter8_pallas", functools.partial(pg8.scatter8_pallas, interpret=True)
+    )
+    monkeypatch.setattr(pg8, "USE_PALLAS_BWD", True)
+    got = jax.grad(loss)(feats)
+    monkeypatch.setattr(pg8, "USE_PALLAS_BWD", False)
+    want = jax.grad(loss)(feats)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

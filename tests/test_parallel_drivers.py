@@ -397,3 +397,83 @@ def test_fused_round_matches_staged(tmp_path):
                 b = np.load(os.path.join(d_f, f"{name}.npy"))
                 np.testing.assert_array_equal(a, b)
     assert len(res_staged.al_added) > 0
+
+
+def test_fused_round_propagates_writer_failure(tmp_path, monkeypatch):
+    """A failed prob/pred artifact write inside the fused round's async writer
+    thread must fail the ROUND (the staged pipeline propagates writer
+    failures; silently losing dumps would corrupt a later resumed/staged
+    run that reads them)."""
+    import numpy
+
+    from lidal_tpu.active.lidal_runner import run_fused_lidal_round
+    from lidal_tpu.data.selection import save_sv_info
+    from lidal_tpu.runtime.paths import Paths, ensure_dir
+    from lidal_tpu.runtime.train import make_optimizer
+
+    from lidal_tpu.data.pipeline import prepare_train_batch
+    from lidal_tpu.runtime.train_loop import build_model
+
+    n_frames, n_sv, seq = 3, 4, "00"
+    rng = np.random.default_rng(5)
+    names = [f"{i:06d}" for i in range(n_frames)]
+    frames = {}
+    for i in range(n_frames):
+        n = int(P * 0.8)
+        r = rng.uniform(2, 30, n)
+        th = rng.uniform(0, 2 * np.pi, n)
+        xyz = np.stack(
+            [r * np.cos(th), r * np.sin(th), 0.1 * rng.standard_normal(n)], 1
+        ).astype(np.float32)
+        frames[names[i]] = (xyz, rng.random(n).astype(np.float32))
+
+    cfg2 = dataclasses.replace(
+        _cfg(tmp_path), metric_name="LiDAL", label_unit="sv", r_id=2,
+        inf_reps=2, view_chunk=2,
+    )
+    paths = Paths(cfg2)
+    p1 = Paths(dataclasses.replace(cfg2, r_id=1))
+    grid_dir = ensure_dir(paths.grid_dir(seq))
+    svi_dir = ensure_dir(paths.supervoxel_dir(seq, "KMeans"))
+    svf_dir = ensure_dir(p1.sv_flag_dir(seq))
+    gid = 0
+    for i, name in enumerate(names):
+        xyz = frames[name][0]
+        np.savez_compressed(
+            os.path.join(grid_dir, f"{name}.npz"),
+            xyz=xyz + np.array([0.3 * i, 0, 0], np.float32),
+        )
+        point2sv = (np.arange(len(xyz), dtype=np.int32) * n_sv) // len(xyz)
+        save_sv_info(
+            os.path.join(svi_dir, f"{name}.npz"),
+            point2sv,
+            np.arange(gid, gid + n_sv, dtype=np.int64),
+        )
+        gid += n_sv
+        np.save(
+            os.path.join(svf_dir, f"{name}.npy"),
+            np.full(n_sv, 1 if i == 0 else 0, np.int32),
+        )
+
+    model = build_model(cfg2)
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)
+    xyz0, sig0, valid0, labels0 = _points(1, seed=1)
+    tb = prepare_train_batch(keys, xyz0, sig0, valid0, labels0, level_caps=CAPS)
+    state = init_state(model, jax.random.PRNGKey(1), tb, make_optimizer())
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    eval_step = make_eval_step(model, with_points=False)
+
+    real_save = numpy.save
+
+    def failing_save(file, arr, *a, **kw):
+        if f"{os.sep}prob_map{os.sep}" in str(file):
+            raise OSError("disk full (synthetic)")
+        return real_save(file, arr, *a, **kw)
+
+    monkeypatch.setattr(numpy, "save", failing_save)
+    with pytest.raises(OSError, match="disk full"):
+        run_fused_lidal_round(
+            cfg2, eval_step, variables, lambda s, name: frames[name],
+            train_split=(seq,), train_point_num=n_frames * P * 40,
+            devices=jax.devices()[:1],
+        )
